@@ -1,0 +1,145 @@
+"""LSQ (Learned Step-size Quantization) fake-quant, functional core.
+
+TPU-native reimplementation of the reference's LSQ quantizer family
+(reference: src/quantization/quantizer/lsq.py).  The reference has six
+near-identical classes differing only in which axes carry the learned scale
+and how the scale is initialized; here they collapse into ONE pure function
+parameterized by a `channel_axis`, plus init helpers.  The learned scale `s`
+is an ordinary parameter in the pytree (owned by the calling Flax module),
+so the reference's lazy `init_from`-on-first-forward becomes data-dependent
+Flax init (see ofq_tpu/nn/*).
+
+Scale-axis conventions preserved from the reference:
+  * `LsqQuantizer` (lsq.py:515-610):  s indexed by axis -2 — the *token*
+    axis for (B, N, C) and (B, H, N, d) activations ("quantize along N").
+  * `LsqQuantizer4v` (lsq.py:701-800):  s on axis -1 (true per-channel).
+  * per-tensor variants: scalar s.
+Gradient scaling of s is 1/sqrt(thd_pos * numel_per_group), matching
+lsq.py:582-591 per shape.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .ste import clip_lower, grad_scale, round_pass
+
+_S_EPS = 1e-5  # lower bound on the learned scale (lsq.py:92)
+
+
+def thresholds(bit: int, all_positive: bool) -> tuple[int, int]:
+    """Integer range [thd_neg, thd_pos] for a bit-width (lsq.py:519-534)."""
+    if all_positive:
+        if bit == 1:
+            return 0, 1
+        return 0, 2**bit - 1
+    if bit == 1:
+        return -1, 1
+    return -(2 ** (bit - 1)), 2 ** (bit - 1) - 1
+
+
+def _broadcast_scale(s: jax.Array, x_ndim: int, channel_axis: int | None) -> jax.Array:
+    """Reshape a 1-D (or scalar) scale so it broadcasts along channel_axis."""
+    if channel_axis is None or s.ndim == 0 or s.size == 1:
+        return jnp.reshape(s, ())
+    shape = [1] * x_ndim
+    shape[channel_axis] = s.shape[0]
+    return jnp.reshape(s, shape)
+
+
+def grad_scale_factor(x_shape: Sequence[int], bit: int, all_positive: bool,
+                      channel_axis: int | None) -> float:
+    """1/sqrt(thd_pos * group_numel), matching the reference per shape.
+
+    Reference (lsq.py:582-591 for axis -2 scales; lsq.py:774-781 for axis -1;
+    lsq.py:90 per-tensor):  group_numel is the number of elements sharing one
+    scale entry EXCEPT that the reference idiosyncratically omits some axes —
+    we reproduce its exact formulas:
+      per-tensor:                 numel(x)
+      axis -2, 2-D (N, C):        C
+      axis -2, 3-D (B, N, C):     B * C
+      axis -2, 4-D (B, H, N, d):  B * H * d
+      axis -1, 3-D (B, N, C):     B * N
+      axis -1, 4-D (B, H, N, d):  B * H * N
+    """
+    _, thd_pos = thresholds(bit, all_positive)
+    nd = len(x_shape)
+    if channel_axis is None:
+        numel = math.prod(x_shape)
+    elif channel_axis in (-2, nd - 2):
+        if nd == 2:
+            numel = x_shape[-1]
+        elif nd == 3:
+            numel = x_shape[0] * x_shape[-1]
+        elif nd == 4:
+            numel = x_shape[0] * x_shape[1] * x_shape[-1]
+        else:
+            raise ValueError(f"unsupported ndim {nd} for axis -2 LSQ")
+    elif channel_axis in (-1, nd - 1):
+        if nd == 2:
+            # 2-D (in, out) weight kernels: group = the input dim
+            # (LsqQuantizerWeight, lsq.py:87 with torch (out, in) layout).
+            numel = x_shape[0]
+        elif nd == 3:
+            numel = x_shape[0] * x_shape[1]
+        elif nd == 4:
+            numel = x_shape[0] * x_shape[1] * x_shape[2]
+        else:
+            raise ValueError(f"unsupported ndim {nd} for axis -1 LSQ")
+    else:
+        # generic: all elements sharing one scale entry
+        numel = math.prod(x_shape) // x_shape[channel_axis]
+    return 1.0 / math.sqrt(thd_pos * numel)
+
+
+def init_scale(x: jax.Array, bit: int, all_positive: bool,
+               channel_axis: int | None) -> jax.Array:
+    """Data-dependent init of the LSQ scale from first-batch statistics.
+
+    signed:       2 * mean|x| / sqrt(thd_pos)      (lsq.py:547-554)
+    all_positive: 4 * mean|x| / sqrt(thd_pos)
+    per-tensor:   always 2 * mean|x| / sqrt(thd_pos) (lsq.py:562 — the
+                  reference per-tensor branch ignores all_positive).
+    The mean reduces over every axis except `channel_axis`.
+    """
+    _, thd_pos = thresholds(bit, all_positive)
+    if channel_axis is None:
+        factor = 2.0
+        m = jnp.mean(jnp.abs(x))
+        return (factor * m / math.sqrt(thd_pos)).reshape(1)
+    factor = 4.0 if all_positive else 2.0
+    axes = tuple(a for a in range(x.ndim) if a != channel_axis % x.ndim)
+    m = jnp.mean(jnp.abs(x), axis=axes)
+    return factor * m / math.sqrt(thd_pos)
+
+
+def lsq_quantize(
+    x: jax.Array,
+    s: jax.Array,
+    bit: int,
+    *,
+    all_positive: bool = False,
+    channel_axis: int | None = -2,
+) -> jax.Array:
+    """LSQ fake-quantization with learned scale `s`.
+
+    Matches `LsqQuantizer.forward` (lsq.py:571-602): the scale is clipped
+    below at 1e-5 with identity grad, its gradient is scaled by
+    `grad_scale_factor`, the value is clamped to [thd_neg, thd_pos] and
+    rounded with STE.  bit == 1 and signed -> sign(x) binarization.
+    """
+    thd_neg, thd_pos = thresholds(bit, all_positive)
+    g = grad_scale_factor(x.shape, bit, all_positive, channel_axis)
+    s_b = _broadcast_scale(s, x.ndim, channel_axis)
+    s_eff = grad_scale(clip_lower(s_b, _S_EPS), g)
+    y = x / s_eff
+    if bit == 1 and not all_positive:
+        y = jnp.sign(y)
+    else:
+        y = jnp.clip(y, thd_neg, thd_pos)
+        y = round_pass(y)
+    return y * s_eff

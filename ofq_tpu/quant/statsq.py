@@ -1,0 +1,166 @@
+"""StatsQ: statistical (non-learned) weight fake-quantization.
+
+TPU-native, purely functional reimplementation of the reference's StatsQ
+family (reference: src/quantization/quantizer/statsq.py:122-193).
+
+Semantics preserved exactly:
+  * per-output-row scale  s = 2 * mean(|W|)  recomputed from the live
+    weights on every forward and detached (never learned),
+  * scaled weights clamped to [-1, 1 - 1e-6]  (clip_val = 2.0),
+  * mid-rise level set  q = (round(x * n - 0.5) + 0.5) / n,  n = 2^(b-1),
+  * full straight-through gradient to the real weights.
+
+Layout convention: unlike the reference's torch Linear (out, in) weights,
+all kernels here follow the JAX/Flax convention `(in_features, out_features)`
+— the per-output "row" statistics therefore reduce over axis 0 and broadcast
+over axis 1.  The CGA variant's in-forward freeze-band mask replaces the
+reference's Python loop over integer levels (statsq.py:183-185) with a
+closed-form floor/fraction computation (provably equivalent for
+boundary_range < 0.5; see tests/test_statsq.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .ste import passthrough
+
+# Clamp epsilon of the reference implementation (statsq.py:145): scaled
+# weights live in [-clip/2, clip/2 - 1e-6] with clip_val = 2.0.
+_CLIP_HI_EPS = 1e-6
+
+
+def statsq_scale(w: jax.Array, *, reduce_axis: int = 0) -> jax.Array:
+    """Per-output-channel StatsQ scale `2 * mean(|w|)`, detached.
+
+    For a 2-D `(in, out)` kernel this returns shape `(1, out)`.
+    Reference: statsq.py:138 (with the (out, in) axes swapped for Flax
+    layout).  A zero row would make the scale 0 and the forward NaN in the
+    reference; we lower-bound by a tiny epsilon to stay finite (documented
+    deviation — only reachable for an identically-zero output column).
+    """
+    s = 2.0 * jnp.mean(jnp.abs(w), axis=reduce_axis, keepdims=True)
+    s = jnp.maximum(s, jnp.asarray(1e-12, w.dtype))
+    return jax.lax.stop_gradient(s)
+
+
+def statsq_quantize(w: jax.Array, num_bits: int, *, reduce_axis: int = 0) -> jax.Array:
+    """Fake-quantize a kernel with StatsQ. Gradient = identity (STE).
+
+    Reference: statsq.py:133-150 (`StatsQuantizer.forward`).
+    """
+    s = statsq_scale(w, reduce_axis=reduce_axis)
+    scaled = w / s
+    clipped = jnp.clip(scaled, -1.0, 1.0 - _CLIP_HI_EPS)
+    n = float(2 ** (num_bits - 1))
+    q = s * ((jnp.round(clipped * n - 0.5) + 0.5) / n)
+    return passthrough(jax.lax.stop_gradient(q), w)
+
+
+def cga_band_mask(
+    b4_round: jax.Array,
+    num_bits: int,
+    boundary_range: float,
+    *,
+    level_lo: int | None = None,
+    level_hi: int | None = None,
+) -> jax.Array:
+    """Boolean mask of entries whose pre-round value sits inside the
+    rounding-decision band ("uncertain" weights that CGA keeps trainable).
+
+    The reference loops over integer levels i in [level_lo, level_hi] and
+    tests `b4_round - i` in `[0.5 - BR, 0.5 + BR]` (statsq.py:183-185,
+    cga.py:465-468).  For BR < 0.5 the bands around distinct half-integers
+    are disjoint, so membership is equivalent to
+        floor(b4_round) in [level_lo, level_hi]   AND
+        |frac(b4_round) - 0.5| <= BR
+    which vectorizes with no Python loop and no data-dependent trip count.
+
+    `level_lo/level_hi` default to the in-forward CGA range
+    [-2^(b-1), 2^(b-1) - 2] (np.arange stop is exclusive, statsq.py:183).
+    """
+    if level_lo is None:
+        level_lo = -(2 ** (num_bits - 1))
+    if level_hi is None:
+        level_hi = 2 ** (num_bits - 1) - 2
+    floor = jnp.floor(b4_round)
+    frac = b4_round - floor
+    in_band = (frac >= 0.5 - boundary_range) & (frac <= 0.5 + boundary_range)
+    in_range = (floor >= level_lo) & (floor <= level_hi)
+    return in_band & in_range
+
+
+def statsq_quantize_cga(
+    w: jax.Array,
+    num_bits: int,
+    boundary_range: float,
+    *,
+    training: bool,
+    reduce_axis: int = 0,
+) -> jax.Array:
+    """StatsQ with in-forward confidence-guided annealing.
+
+    During training, weights whose pre-round value lies OUTSIDE the
+    rounding-decision band are detached (their gradient is cut), so only
+    oscillation-capable weights keep moving.
+    Reference: statsq.py:154-193 (`StatsQuantizer_specific_4_qkreparam_cga`).
+    """
+    s = statsq_scale(w, reduce_axis=reduce_axis)
+    scaled = w / s
+    clipped = jnp.clip(scaled, -1.0, 1.0 - _CLIP_HI_EPS)
+    n = float(2 ** (num_bits - 1))
+    b4_round = clipped * n - 0.5
+    if training:
+        keep = cga_band_mask(jax.lax.stop_gradient(b4_round), num_bits, boundary_range)
+        # Frozen entries contribute their value but no gradient
+        # (reference statsq.py:186-188).
+        b4_round = jnp.where(keep, b4_round, jax.lax.stop_gradient(b4_round))
+    q = s * ((jnp.round(b4_round) + 0.5) / n)
+    return passthrough(jax.lax.stop_gradient(q), w) if not training else (
+        # Keep the partially-detached gradient path: grad flows through
+        # b4_round only where `keep` is true, mirroring the reference's
+        # `quan.detach() - real.detach() + real` with masked b4_round.
+        _cga_passthrough(q, b4_round, w, s, n)
+    )
+
+
+def _cga_passthrough(q, b4_round, w, s, n):
+    """STE for the CGA forward.
+
+    The reference applies the *full* passthrough `q.detach() - w.detach() + w`
+    (statsq.py:190-191), which overrides the band masking for the final STE —
+    the masking only matters through `b4_round`'s own graph, which is then
+    detached anyway.  Net effect in the reference: the weight gradient is
+    identity regardless of the band (the in-forward mask is a no-op for
+    gradients in the torch code because `quan_weights_no_grad` is detached).
+    We reproduce that exactly: full STE passthrough.
+    """
+    del b4_round, s, n
+    return passthrough(jax.lax.stop_gradient(q), w)
+
+
+def outer_freeze_mask(w: jax.Array, num_bits: int, boundary_range: float,
+                      *, reduce_axis: int = 0) -> jax.Array:
+    """CGA's *outer* freeze mask: 1.0 where a weight is FROZEN (confident),
+    0.0 where it stays trainable.
+
+    Reference: cga.py:450-469 (`freeze_outside_boundary_weight_idx`).  The
+    level range there is data-dependent: np.arange(min(round), max(round))
+    — inclusive of min, exclusive of max.  We compute the same range
+    in-graph with jnp.min/max (floor must land in [min_r, max_r - 1]).
+    """
+    s = statsq_scale(w, reduce_axis=reduce_axis)
+    scaled = w / s
+    clipped = jnp.clip(scaled, -1.0, 1.0 - _CLIP_HI_EPS)
+    n = float(2 ** (num_bits - 1))
+    b4_round = clipped * n - 0.5
+    rounded = jnp.round(b4_round)
+    min_r = jnp.min(rounded)
+    max_r = jnp.max(rounded)
+    floor = jnp.floor(b4_round)
+    frac = b4_round - floor
+    in_band = (frac >= 0.5 - boundary_range) & (frac <= 0.5 + boundary_range)
+    in_range = (floor >= min_r) & (floor <= max_r - 1.0)
+    keep_trainable = in_band & in_range
+    return 1.0 - keep_trainable.astype(w.dtype)

@@ -1,0 +1,271 @@
+"""Golden-value and gradient tests for the functional quantization core.
+
+The expected values are computed by hand / with independent numpy code that
+transcribes the reference formulas (statsq.py:133-150, lsq.py:571-602), so a
+regression here means a true semantic divergence from the reference.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ofq_tpu.quant import (
+    cga_band_mask,
+    clip_lower,
+    grad_scale,
+    grad_scale_factor,
+    init_scale,
+    lsq_quantize,
+    outer_freeze_mask,
+    passthrough,
+    round_pass,
+    statsq_quantize,
+    statsq_quantize_cga,
+    statsq_scale,
+    thresholds,
+)
+
+
+# ---------------------------------------------------------------- STE ops
+class TestSTE:
+    def test_round_pass_forward(self):
+        x = jnp.array([0.4, 0.5, 1.5, 2.5, -0.5, -1.2])
+        # banker's rounding: 0.5->0, 1.5->2, 2.5->2, -0.5->0
+        np.testing.assert_allclose(
+            round_pass(x), [0.0, 0.0, 2.0, 2.0, 0.0, -1.0]
+        )
+
+    def test_round_pass_grad_identity(self):
+        g = jax.grad(lambda x: jnp.sum(round_pass(x) ** 2))(jnp.array([1.3, -0.7]))
+        # d/dx of round(x)^2 with STE = 2*round(x)
+        np.testing.assert_allclose(g, [2.0, -2.0])
+
+    def test_grad_scale(self):
+        f = lambda x: jnp.sum(grad_scale(x, 0.25) * 3.0)
+        x = jnp.array([1.0, 2.0])
+        np.testing.assert_allclose(grad_scale(x, 0.25), x)  # identity fwd
+        np.testing.assert_allclose(jax.grad(f)(x), [0.75, 0.75])
+
+    def test_clip_lower(self):
+        x = jnp.array([-1.0, 1e-6, 2.0])
+        np.testing.assert_allclose(clip_lower(x, 1e-5), [1e-5, 1e-5, 2.0], atol=1e-7)
+        g = jax.grad(lambda x: jnp.sum(clip_lower(x, 1e-5)))(x)
+        np.testing.assert_allclose(g, [1.0, 1.0, 1.0])  # identity grad
+
+    def test_passthrough(self):
+        x = jnp.array([1.0, 2.0])
+        t = jnp.array([5.0, 6.0])
+        np.testing.assert_allclose(passthrough(t, x), t)
+        g = jax.grad(lambda x: jnp.sum(passthrough(t, x) * 2.0))(x)
+        np.testing.assert_allclose(g, [2.0, 2.0])
+
+
+# ---------------------------------------------------------------- StatsQ
+def np_statsq(w_out_in: np.ndarray, bits: int) -> np.ndarray:
+    """Independent numpy transcription of StatsQuantizer.forward for a torch
+    (out, in) weight — used as the golden reference."""
+    s = 2 * np.mean(np.abs(w_out_in), axis=1, keepdims=True)
+    scaled = w_out_in / s
+    clipped = np.clip(scaled, -1.0, 1.0 - 1e-6)
+    n = float(2 ** (bits - 1))
+    return s * ((np.round(clipped * n - 0.5) + 0.5) / n)
+
+
+class TestStatsQ:
+    @pytest.mark.parametrize("bits", [2, 3, 4, 8])
+    def test_matches_reference_formula(self, bits):
+        rng = np.random.default_rng(0)
+        w_torch = rng.normal(size=(16, 32)).astype(np.float32)  # (out, in)
+        w_jax = jnp.asarray(w_torch.T)  # (in, out) flax layout
+        got = statsq_quantize(w_jax, bits)  # quantize over axis 0
+        want = np_statsq(w_torch, bits).T
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+    def test_level_count(self):
+        # b-bit mid-rise StatsQ has exactly 2^b distinct levels per row
+        rng = np.random.default_rng(1)
+        w = jnp.asarray(rng.normal(size=(64, 8)).astype(np.float32)) * 3
+        for bits in (2, 3, 4):
+            q = np.asarray(statsq_quantize(w, bits))
+            # The STE passthrough computes w + (q - w), which perturbs levels
+            # by ~1 ulp (identical to the reference's detach arithmetic), so
+            # count unique levels after snapping to 1e-5 relative precision.
+            per_col = [
+                len(np.unique(np.round(q[:, j] * 1e5).astype(np.int64)))
+                for j in range(8)
+            ]
+            assert max(per_col) <= 2**bits
+
+    def test_scale_detached(self):
+        w = jnp.asarray(np.random.default_rng(2).normal(size=(8, 4)), jnp.float32)
+        g = jax.grad(lambda w: jnp.sum(statsq_quantize(w, 2) * 2.0))(w)
+        # STE: gradient is exactly the upstream gradient (identity Jacobian)
+        np.testing.assert_allclose(g, jnp.full_like(w, 2.0))
+
+    def test_midrise_levels_are_half_integers(self):
+        w = jnp.asarray(np.linspace(-2, 2, 101, dtype=np.float32)[:, None])
+        q = statsq_quantize(w, 2)
+        s = statsq_scale(w)
+        lv = np.unique(np.round(np.asarray(q / s) * 2 * 2) / 2)  # in units of s/n
+        # levels are (k + 0.5)/n * s -> q/s * n in {-2+0.5, ..., 1.5}
+        n = 2.0
+        vals = np.unique(np.asarray(q / s) * n)
+        for v in vals:
+            assert abs(v - (np.floor(v) + 0.5)) < 1e-5 or abs(v % 0.5) < 1e-5
+
+    def test_cga_forward_equals_plain(self):
+        # The in-forward CGA quantizer is numerically identical to plain
+        # StatsQ (the band-detach only alters an already-detached term).
+        w = jnp.asarray(np.random.default_rng(3).normal(size=(32, 16)), jnp.float32)
+        np.testing.assert_allclose(
+            statsq_quantize_cga(w, 2, 0.005, training=True),
+            statsq_quantize(w, 2),
+            rtol=1e-6,
+        )
+
+
+# ------------------------------------------------------- CGA band masks
+def np_band_mask_loop(b4_round: np.ndarray, lo: int, hi: int, br: float) -> np.ndarray:
+    """Literal loop transcription of the reference's band test."""
+    out = np.zeros_like(b4_round)
+    for i in range(lo, hi + 1):
+        within = ((b4_round - i) <= (0.5 + br)) & ((b4_round - i) >= (0.5 - br))
+        out += within.astype(np.float32)
+    return out > 0
+
+
+class TestCGAMasks:
+    @pytest.mark.parametrize("bits,br", [(2, 0.005), (2, 0.1), (3, 0.05), (4, 0.2)])
+    def test_band_mask_equals_loop(self, bits, br):
+        rng = np.random.default_rng(4)
+        n = float(2 ** (bits - 1))
+        b4 = (rng.uniform(-1.1, 1.1, size=(256,)).astype(np.float32)) * n - 0.5
+        lo, hi = -(2 ** (bits - 1)), 2 ** (bits - 1) - 2
+        want = np_band_mask_loop(b4, lo, hi, br)
+        got = np.asarray(cga_band_mask(jnp.asarray(b4), bits, br))
+        np.testing.assert_array_equal(got, want)
+
+    @pytest.mark.parametrize("bits,br", [(2, 0.005), (3, 0.01), (4, 0.05)])
+    def test_outer_freeze_mask_equals_loop(self, bits, br):
+        rng = np.random.default_rng(5)
+        w_torch = rng.normal(size=(24, 48)).astype(np.float32)  # (out, in)
+        # numpy transcription of freeze_outside_boundary_weight_idx
+        s = 2 * np.mean(np.abs(w_torch), axis=1, keepdims=True)
+        clipped = np.clip(w_torch / s, -1.0, 1.0 - 1e-6)
+        n = float(2 ** (bits - 1))
+        b4 = clipped * n - 0.5
+        r = np.round(b4)
+        lo, hi = int(r.min()), int(r.max())
+        keep = np_band_mask_loop(b4, lo, hi - 1, br)  # arange excludes max
+        want = 1.0 - keep.astype(np.float32)
+        got = np.asarray(outer_freeze_mask(jnp.asarray(w_torch.T), bits, br)).T
+        np.testing.assert_array_equal(got, want)
+
+
+# ------------------------------------------------------------------ LSQ
+def np_lsq(x, s, bit, all_positive, axis):
+    """Independent numpy forward of LsqQuantizer (no grad)."""
+    if all_positive:
+        lo, hi = 0, 2**bit - 1
+    else:
+        lo, hi = -(2 ** (bit - 1)), 2 ** (bit - 1) - 1
+    s = np.maximum(s, 1e-5)
+    shape = [1] * x.ndim
+    if axis is not None:
+        shape[axis] = -1
+        s = s.reshape(shape)
+    y = x / s
+    y = np.clip(y, lo, hi)
+    y = np.round(y)
+    return y * s
+
+
+class TestLSQ:
+    def test_thresholds(self):
+        assert thresholds(2, False) == (-2, 1)
+        assert thresholds(2, True) == (0, 3)
+        assert thresholds(1, False) == (-1, 1)
+        assert thresholds(8, True) == (0, 255)
+
+    @pytest.mark.parametrize("all_positive", [False, True])
+    def test_forward_matches_numpy(self, all_positive):
+        rng = np.random.default_rng(6)
+        x = rng.normal(size=(2, 5, 7)).astype(np.float32)
+        if all_positive:
+            x = np.abs(x)
+        s = rng.uniform(0.05, 0.3, size=(5,)).astype(np.float32)
+        got = lsq_quantize(jnp.asarray(x), jnp.asarray(s), 2,
+                           all_positive=all_positive, channel_axis=-2)
+        want = np_lsq(x, s, 2, all_positive, -2)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+    def test_per_tensor(self):
+        x = jnp.asarray([[0.3, -0.9], [1.4, 0.04]], jnp.float32)
+        s = jnp.asarray([0.25])
+        got = lsq_quantize(x, s, 2, all_positive=False, channel_axis=None)
+        want = np_lsq(np.asarray(x), np.asarray([0.25]), 2, False, None)
+        np.testing.assert_allclose(got, want)
+
+    def test_bit1_signed_is_sign(self):
+        x = jnp.asarray([[-0.3, 0.0, 0.8]], jnp.float32)
+        s = jnp.asarray([0.5])
+        got = lsq_quantize(x, s, 1, all_positive=False, channel_axis=None)
+        np.testing.assert_allclose(got, [[-0.5, 0.0, 0.5]])
+
+    def test_x_gradient_clip_mask(self):
+        # dL/dx is 1 inside [thd_neg*s, thd_pos*s], 0 outside (clip region)
+        s = jnp.asarray([1.0])
+        x = jnp.asarray([-5.0, -0.7, 0.3, 5.0], jnp.float32)
+        g = jax.grad(
+            lambda x: jnp.sum(lsq_quantize(x, s, 2, channel_axis=None))
+        )(x)
+        np.testing.assert_allclose(g, [0.0, 1.0, 1.0, 0.0])
+
+    def test_s_gradient_lsq_formula(self):
+        # LSQ paper gradient: ds = (round(y) - y) inside, thd at clip, all
+        # multiplied by the grad-scale g.
+        bit = 2
+        x = np.array([0.3, -5.0, 5.0], dtype=np.float32)
+        s0 = 1.0
+        g_factor = grad_scale_factor(x.shape, bit, False, None)
+        grad_s = jax.grad(
+            lambda s: jnp.sum(lsq_quantize(jnp.asarray(x), s, bit, channel_axis=None))
+        )(jnp.asarray([s0]))
+        # elementwise: x=0.3 -> round(0.3)-0.3 = -0.3 ; x=-5 -> thd_neg=-2 ;
+        # x=5 -> thd_pos=1
+        want = (-0.3 + -2.0 + 1.0) * g_factor
+        np.testing.assert_allclose(grad_s, [want], rtol=1e-5)
+
+    def test_grad_scale_factors_match_reference_shapes(self):
+        # (B,N,C) axis -2 -> 1/sqrt(thd*B*C)
+        assert grad_scale_factor((4, 197, 192), 2, False, -2) == pytest.approx(
+            1.0 / np.sqrt(1 * 4 * 192)
+        )
+        # (B,H,N,d) axis -2 -> 1/sqrt(thd*B*H*d)
+        assert grad_scale_factor((4, 3, 197, 64), 2, False, -2) == pytest.approx(
+            1.0 / np.sqrt(1 * 4 * 3 * 64)
+        )
+        # (B,N,C) axis -1 -> 1/sqrt(thd*B*N)
+        assert grad_scale_factor((4, 197, 192), 2, False, -1) == pytest.approx(
+            1.0 / np.sqrt(1 * 4 * 197)
+        )
+        # per-tensor
+        assert grad_scale_factor((4, 5), 2, True, None) == pytest.approx(
+            1.0 / np.sqrt(3 * 20)
+        )
+
+    def test_init_scale(self):
+        x = np.abs(np.random.default_rng(7).normal(size=(2, 3, 4))).astype(np.float32)
+        # per-channel axis -2, signed: 2*mean|x| over (B, C) / sqrt(thd)
+        got = init_scale(jnp.asarray(x), 2, False, -2)
+        want = 2 * np.mean(np.abs(x), axis=(0, 2)) / np.sqrt(1)
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+        # all_positive -> factor 4, thd=3
+        got = init_scale(jnp.asarray(x), 2, True, -2)
+        want = 4 * np.mean(np.abs(x), axis=(0, 2)) / np.sqrt(3)
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+        # per-tensor ignores all_positive (factor 2)
+        got = init_scale(jnp.asarray(x), 2, True, None)
+        want = 2 * np.mean(np.abs(x)) / np.sqrt(3)
+        np.testing.assert_allclose(got, np.asarray([want]), rtol=1e-6)
