@@ -1,0 +1,241 @@
+"""DeiT / ViT model family, float and quantized, in Flax.
+
+TPU-native rebuild of the reference's forked timm ViT
+(reference: src/deit_vision_transformer.py, src/deit.py).  Key behavioral
+contracts preserved:
+
+  * every model returns a tuple `(logits, attn_info)`; distilled models in
+    training mode return `((cls_logits, dist_logits), attn_info)` and in
+    eval mode `((cls + dist) / 2, attn_info)`
+    (reference: src/deit.py:56-67, deit_vision_transformer.py:318-330),
+  * `qqkkvv=True` threads per-block (attn, q·qᵀ, k·kᵀ, v·vᵀ)/√d Gram
+    matrices out for qk-direction distillation
+    (deit_vision_transformer.py:105-119),
+  * quantization policy: per-path module selection with the pinned W8A8
+    patch-embed / head special cases (modules/utils.py:68-101),
+  * no-weight-decay set {pos_embed, cls_token, dist_token}
+    (deit_vision_transformer.py:272-274) — exported for the optimizer.
+
+Layout is NHWC for images and (B, N, C) tokens.  Blocks run under
+`nn.remat` optionally (rematerialization replaces activation memory with
+recompute — the TPU answer to the reference's FP32 memory pressure).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..nn.attention import Attention, QAttention, QAttentionQKR
+from ..nn.conv import PatchEmbedConv, QPatchEmbedConv
+from ..nn.linear import Mlp, QHeadLinear, QMlp
+from ..quant.policy import QuantPolicy
+
+
+@dataclasses.dataclass(frozen=True)
+class DeiTConfig:
+    img_size: int = 224
+    patch_size: int = 16
+    embed_dim: int = 192
+    depth: int = 12
+    num_heads: int = 3
+    mlp_ratio: float = 4.0
+    num_classes: int = 1000
+    distilled: bool = True
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    qqkkvv: bool = False
+    ln_eps: float = 1e-6
+    remat: bool = False
+
+
+DEIT_TINY = DeiTConfig(embed_dim=192, num_heads=3)
+DEIT_SMALL = DeiTConfig(embed_dim=384, num_heads=6)
+DEIT_BASE = DeiTConfig(embed_dim=768, num_heads=12)
+
+
+def _drop_path(x: jax.Array, rate: float, deterministic: bool,
+               rng) -> jax.Array:
+    """Stochastic depth on the residual branch (per-sample)."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+class Block(nn.Module):
+    """Pre-norm transformer block threading (x, attn_info) tuples.
+
+    Reference: deit_vision_transformer.py:132-164.
+    """
+
+    cfg: DeiTConfig
+    policy: QuantPolicy
+    index: int
+    drop_path: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True):
+        cfg, pol = self.cfg, self.policy
+        attn_path = f"blocks.{self.index}.attn"
+        mlp_path = f"blocks.{self.index}.mlp"
+        C = cfg.embed_dim
+        hidden = int(C * cfg.mlp_ratio)
+
+        h = nn.LayerNorm(epsilon=cfg.ln_eps, name="norm1")(x)
+        if pol.quantizes(attn_path):
+            if pol.qk_reparam:
+                attn = QAttentionQKR(
+                    num_heads=cfg.num_heads,
+                    weight_bits=pol.weight.bit, input_bits=pol.act.bit,
+                    aq_learnable=pol.act.learnable,
+                    wq_learnable=pol.weight.learnable,
+                    attn_drop=cfg.attn_drop_rate, proj_drop=cfg.drop_rate,
+                    qqkkvv=cfg.qqkkvv, name="attn")
+            else:
+                attn = QAttention(
+                    num_heads=cfg.num_heads,
+                    weight_bits=pol.weight.bit, input_bits=pol.act.bit,
+                    aq_learnable=pol.act.learnable,
+                    wq_learnable=pol.weight.learnable,
+                    attn_drop=cfg.attn_drop_rate, proj_drop=cfg.drop_rate,
+                    qqkkvv=cfg.qqkkvv, lsq_weights=pol.lsq_weights,
+                    name="attn")
+        else:
+            attn = Attention(
+                num_heads=cfg.num_heads, qkv_bias=True,
+                attn_drop=cfg.attn_drop_rate, proj_drop=cfg.drop_rate,
+                qqkkvv=cfg.qqkkvv, name="attn")
+        attn_out, attn_info = attn(h, deterministic=deterministic)
+        if self.drop_path > 0 and not deterministic:
+            attn_out = _drop_path(
+                attn_out, self.drop_path, deterministic,
+                self.make_rng("droppath"))
+        x = x + attn_out
+
+        h = nn.LayerNorm(epsilon=cfg.ln_eps, name="norm2")(x)
+        if pol.quantizes(mlp_path):
+            mlp = QMlp(
+                hidden_features=hidden, out_features=C,
+                weight_bits=pol.weight.bit, input_bits=pol.act.bit,
+                aq_learnable=pol.act.learnable,
+                wq_learnable=pol.weight.learnable,
+                act_layer=pol.act_layer, dropout_rate=cfg.drop_rate,
+                lsq_weights=pol.lsq_weights, name="mlp")
+        else:
+            mlp = Mlp(hidden_features=hidden, out_features=C,
+                      dropout_rate=cfg.drop_rate, name="mlp")
+        mlp_out = mlp(h, deterministic=deterministic)
+        if self.drop_path > 0 and not deterministic:
+            mlp_out = _drop_path(
+                mlp_out, self.drop_path, deterministic,
+                self.make_rng("droppath"))
+        x = x + mlp_out
+        return x, attn_info
+
+
+class VisionTransformer(nn.Module):
+    """DeiT/ViT with optional distillation token and quantization policy."""
+
+    cfg: DeiTConfig
+    policy: QuantPolicy = QuantPolicy()
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False):
+        cfg, pol = self.cfg, self.policy
+        deterministic = not train
+        C = cfg.embed_dim
+        B = x.shape[0]
+        num_tokens = 2 if cfg.distilled else 1
+        grid = cfg.img_size // cfg.patch_size
+
+        # --- patch embed (pinned W8A8 LSQ conv when quantized) ---
+        if pol.quantizes("patch_embed.proj") or pol.quantizes("features.0.0"):
+            patches = QPatchEmbedConv(
+                features=C, patch_size=(cfg.patch_size,) * 2,
+                img_size=(cfg.img_size,) * 2, name="patch_embed")(x)
+        else:
+            patches = PatchEmbedConv(
+                features=C, patch_size=(cfg.patch_size,) * 2,
+                name="patch_embed")(x)
+        patches = patches.reshape(B, grid * grid, C)
+
+        cls_token = self.param(
+            "cls_token", nn.initializers.truncated_normal(0.02), (1, 1, C))
+        tokens = [jnp.broadcast_to(cls_token, (B, 1, C)).astype(patches.dtype)]
+        if cfg.distilled:
+            dist_token = self.param(
+                "dist_token", nn.initializers.truncated_normal(0.02), (1, 1, C))
+            tokens.append(
+                jnp.broadcast_to(dist_token, (B, 1, C)).astype(patches.dtype))
+        x = jnp.concatenate(tokens + [patches], axis=1)
+
+        pos_embed = self.param(
+            "pos_embed", nn.initializers.truncated_normal(0.02),
+            (1, grid * grid + num_tokens, C))
+        x = x + pos_embed.astype(x.dtype)
+        x = nn.Dropout(cfg.drop_rate, deterministic=deterministic)(x)
+
+        # --- transformer blocks ---
+        attn_infos = []
+        features = []
+        dpr = [cfg.drop_path_rate * i / max(cfg.depth - 1, 1)
+               for i in range(cfg.depth)]
+        block_cls = Block
+        if cfg.remat:
+            block_cls = nn.remat(Block, static_argnums=())
+        for i in range(cfg.depth):
+            x, info = block_cls(
+                cfg=cfg, policy=pol, index=i, drop_path=dpr[i],
+                name=f"blocks_{i}")(x, deterministic=deterministic)
+            attn_infos.append(info)
+            features.append(x)
+
+        x = nn.LayerNorm(epsilon=cfg.ln_eps, name="norm")(x)
+
+        # --- heads (pinned W8A8 when quantized) ---
+        def head_module(path: str, name: str):
+            if pol.quantizes(path):
+                return QHeadLinear(cfg.num_classes, name=name)
+            return nn.Dense(
+                cfg.num_classes, kernel_init=nn.initializers.zeros, name=name)
+
+        if not cfg.qqkkvv:
+            attn_infos = None
+
+        if cfg.distilled:
+            cls_logits = head_module("head", "head")(x[:, 0])
+            dist_logits = head_module("head_dist", "head_dist")(x[:, 1])
+            if train:
+                return (cls_logits, dist_logits), attn_infos
+            return (cls_logits + dist_logits) / 2.0, attn_infos
+        cls_logits = head_module("head", "head")(x[:, 0])
+        return cls_logits, attn_infos
+
+    @staticmethod
+    def no_weight_decay() -> tuple[str, ...]:
+        return ("pos_embed", "cls_token", "dist_token")
+
+
+def deit_model(variant: str, policy: QuantPolicy = QuantPolicy(),
+               **overrides: Any) -> VisionTransformer:
+    """Constructor by reference model name.
+
+    Accepts timm-style names ('deit_tiny_distilled_patch16_224', ...).
+    """
+    base = {
+        "deit_tiny_distilled_patch16_224": DEIT_TINY,
+        "deit_small_distilled_patch16_224": DEIT_SMALL,
+        "deit_tiny_patch16_224": dataclasses.replace(DEIT_TINY, distilled=False),
+        "deit_small_patch16_224": dataclasses.replace(DEIT_SMALL, distilled=False),
+        "deit_base_distilled_patch16_224": DEIT_BASE,
+    }[variant]
+    cfg = dataclasses.replace(base, **overrides) if overrides else base
+    return VisionTransformer(cfg=cfg, policy=policy)

@@ -1,0 +1,231 @@
+"""Quantized multi-head self-attention for DeiT-style ViTs.
+
+TPU-native counterparts of the reference attention modules
+(reference: src/quantization/modules/attention.py).  Three variants:
+
+  * `Attention`       — float MHSA, with optional `qqkkvv` Gram-matrix
+                        telemetry for qk-direction distillation
+                        (reference: src/deit_vision_transformer.py:85-130).
+  * `QAttention`      — quantized qkv/proj linears, per-token LSQ on q/k,
+                        per-channel LSQ on v, all-positive LSQ after
+                        softmax (reference: attention.py:12-105).
+  * `QAttentionQKR`   — query-key reparameterization: a single per-head
+                        product matrix W_qk = Wq^T @ Wk is StatsQ-quantized
+                        and attention becomes X @ W_qk @ X^T
+                        (reference: attention.py:107-222; the CGA variant
+                        224-339 is numerically identical — see
+                        ofq_tpu/quant/statsq.py).
+
+All einsums are laid out so the contractions hit the MXU with the feature
+axis innermost; no (B,H,N,d) <-> (B,N,C) permute round-trips beyond the
+ones that carry quantizer-axis semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..quant.statsq import statsq_quantize
+from .bias import LearnableBias
+from .linear import LsqLinear, QLinear
+from .quantizers import LsqAct
+
+
+class Attention(nn.Module):
+    """Float MHSA returning (out, attn_info)."""
+
+    num_heads: int
+    qkv_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    qqkkvv: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True):
+        B, N, C = x.shape
+        H = self.num_heads
+        d = C // H
+        scale = d ** -0.5
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, H, d).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]  # (B, H, N, d)
+
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn_info = None
+        if self.qqkkvv:
+            sq = 1.0 / jnp.sqrt(d)
+            attn_info = (
+                attn,
+                jnp.einsum("bhnd,bhmd->bhnm", q, q) * sq,
+                jnp.einsum("bhnd,bhmd->bhnm", k, k) * sq,
+                jnp.einsum("bhnd,bhmd->bhnm", v, v) * sq,
+            )
+        attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+        out = nn.Dense(C, name="proj")(out)
+        out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
+        return out, attn_info
+
+
+class QAttention(nn.Module):
+    """Quantized MHSA (no reparam). Reference: attention.py:12-105."""
+
+    num_heads: int
+    weight_bits: int = 8
+    input_bits: int = 8
+    aq_learnable: bool = True
+    wq_learnable: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    qqkkvv: bool = False
+    lsq_weights: bool = False  # full-LSQ path (QAttention_lsq, attention.py:341)
+    matmul_impl: Optional[str] = None
+    compute_dtype: Optional[object] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True):
+        B, N, C = x.shape
+        H = self.num_heads
+        d = C // H
+        scale = d ** -0.5
+        linear_cls = LsqLinear if self.lsq_weights else QLinear
+        lin_kwargs = dict(
+            weight_bits=self.weight_bits, input_bits=self.input_bits,
+            symmetric=True, aq_learnable=self.aq_learnable,
+        )
+        if not self.lsq_weights:
+            lin_kwargs.update(
+                matmul_impl=self.matmul_impl, compute_dtype=self.compute_dtype)
+        qkv = linear_cls(3 * C, name="qkv", **lin_kwargs)(x)
+        if self.input_bits < 32:
+            qkv = LearnableBias(3 * C, name="move_qkv_b4")(qkv)
+        qkv = qkv.reshape(B, N, 3, H, d).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]  # (B, H, N, d)
+
+        # q, k: per-token scales on the (B,H,N,d) layout (attention.py:77-78)
+        q = LsqAct(self.input_bits, channel_axis=-2,
+                   learnable=self.aq_learnable, name="quan_q")(q)
+        k = LsqAct(self.input_bits, channel_axis=-2,
+                   learnable=self.aq_learnable, name="quan_k")(k)
+        # v: per-channel scale on (B,N,C) (attention.py:80-82)
+        v = v.transpose(0, 2, 1, 3).reshape(B, N, C)
+        v = LsqAct(self.input_bits, channel_axis=-1,
+                   learnable=self.aq_learnable, name="quan_v")(v)
+        if self.input_bits < 32:
+            q = q.transpose(0, 2, 1, 3).reshape(B, N, C)
+            k = k.transpose(0, 2, 1, 3).reshape(B, N, C)
+            q = LearnableBias(C, name="move_q_aft")(q)
+            k = LearnableBias(C, name="move_k_aft")(k)
+            v = LearnableBias(C, name="move_v_aft")(v)
+            q = q.reshape(B, N, H, d).transpose(0, 2, 1, 3)
+            k = k.reshape(B, N, H, d).transpose(0, 2, 1, 3)
+        v = v.reshape(B, N, H, d).transpose(0, 2, 1, 3)
+
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = LsqAct(self.input_bits, all_positive=True, channel_axis=-2,
+                      learnable=self.aq_learnable, name="quan_softmax")(attn)
+        attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+        out = linear_cls(C, name="proj", **lin_kwargs)(out)
+        out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
+        return out, None
+
+
+class QAttentionQKR(nn.Module):
+    """Query-key reparameterized quantized attention.
+
+    Reference: attention.py:107-222 (`QAttention_qkreparam`) and 224-339
+    (`QAttention_qkreparam_4_cga` — same numerics; CGA's gradient effect
+    lives in the outer optimizer transform, see ofq_tpu/train/cga.py).
+
+    The fused qkv weight is replaced by separate q/k (bias-free) and v
+    kernels; the per-head product W_qk[h] = Wq[h]^T @ Wk[h] is quantized
+    as one (H*C, C) StatsQ matrix with per-row scales.
+    """
+
+    num_heads: int
+    weight_bits: int = 8
+    input_bits: int = 8
+    aq_learnable: bool = True
+    wq_learnable: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    qqkkvv: bool = False
+    matmul_impl: Optional[str] = None
+    compute_dtype: Optional[object] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True):
+        B, N, C = x.shape
+        H = self.num_heads
+        d = C // H
+        scale = d ** -0.5
+
+        # One shared input quantization for both the v-linear and the
+        # X @ W_qk @ X^T chain (attention.py:124, 177).
+        xq = LearnableBias(C, name="quant_x_move_b4")(x)
+        xq = LsqAct(self.input_bits, channel_axis=-2,
+                    learnable=self.aq_learnable, name="quant_x")(xq)
+        xq = LearnableBias(C, name="quant_x_move_aft")(xq)
+
+        # V path: StatsQ(v kernel) @ xq + bias (attention.py:179-181).
+        v_kernel = self.param(
+            "v_kernel", nn.initializers.lecun_normal(), (C, C), jnp.float32)
+        v_bias = self.param("v_bias", nn.initializers.zeros, (C,), jnp.float32)
+        v_out = xq @ statsq_quantize(v_kernel, self.weight_bits) + v_bias
+        v_out = LearnableBias(C, name="move_v_b4")(v_out)
+        v_out = LsqAct(self.input_bits, channel_axis=-1,
+                       learnable=self.aq_learnable, name="quan_v")(v_out)
+        v_out = LearnableBias(C, name="move_v_aft")(v_out)
+        v = v_out.reshape(B, N, H, d).transpose(0, 2, 1, 3)  # (B,H,N,d)
+
+        # Per-head W_qk = Wq^T @ Wk, StatsQ'd as one (H*C, C) matrix
+        # (attention.py:190-196).  Flax kernels are (in=C, out=C); the
+        # torch (out, in) row i of head h maps to our in-axis index i.
+        q_kernel = self.param(
+            "q_kernel", nn.initializers.lecun_normal(), (C, C), jnp.float32)
+        k_kernel = self.param(
+            "k_kernel", nn.initializers.lecun_normal(), (C, C), jnp.float32)
+        qh = q_kernel.reshape(C, H, d)
+        kh = k_kernel.reshape(C, H, d)
+        w_qk = jnp.einsum("ihd,jhd->hij", qh, kh)  # (H, C, C)
+        w_qk = w_qk.reshape(H * C, C)
+        w_qk = statsq_quantize(w_qk, self.weight_bits, reduce_axis=-1)
+        w_qk = w_qk.reshape(H, C, C)
+
+        # qkx[b,h,i,n] = sum_j W_qk[h,i,j] x[b,n,j]   (attention.py:200)
+        qkx = jnp.einsum("hij,bnj->bhin", w_qk, xq)  # (B, H, C, N)
+        # -> (B, N, H*C) for the channel-shift biases (attention.py:201-206)
+        qkx = qkx.transpose(0, 3, 1, 2).reshape(B, N, H * C)
+        qkx = LearnableBias(H * C, name="move_qkx_b4")(qkx)
+        # LSQ with one scale per (token, head) pair on (B, N*H, C)
+        qkx = qkx.reshape(B, N * H, C)
+        qkx = LsqAct(self.input_bits, channel_axis=-2,
+                     learnable=self.aq_learnable, name="quan_qkx")(qkx)
+        qkx = qkx.reshape(B, N, H * C)
+        qkx = LearnableBias(H * C, name="move_qkx_aft")(qkx)
+        qkx = qkx.reshape(B, N, H, C).transpose(0, 2, 3, 1)  # (B, H, C, N)
+
+        # attn logits: X @ (W_qk X^T)   (attention.py:210)
+        attn = jnp.einsum("bnc,bhcm->bhnm", xq, qkx) * scale
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = LsqAct(self.input_bits, all_positive=True, channel_axis=-2,
+                      learnable=self.aq_learnable, name="quan_softmax")(attn)
+        attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+        out = QLinear(
+            C, weight_bits=self.weight_bits, input_bits=self.input_bits,
+            symmetric=True, aq_learnable=self.aq_learnable,
+            matmul_impl=self.matmul_impl, compute_dtype=self.compute_dtype,
+            name="proj")(out)
+        out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
+        return out, None

@@ -1,0 +1,242 @@
+"""Quantized dense layers and MLP.
+
+TPU-native counterparts of the reference's quantized linear modules
+(reference: src/quantization/modules/qlinear.py).  Instead of constructing
+from a live torch module ("module surgery"), these are ordinary Flax
+modules whose behavior is set by constructor fields; pretrained weights
+arrive through the param pytree (checkpoint conversion), not `m.weight`
+copies.
+
+Kernel layout is Flax `(in_features, out_features)`; the reference's
+per-output-row StatsQ scale therefore reduces over axis 0.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops import statsq_matmul
+from .bias import LearnableBias
+from .quantizers import LsqAct, LsqWeight
+
+Dtype = jnp.dtype
+
+
+def _act_fn(name: str) -> Callable[[jax.Array], jax.Array]:
+    return {
+        "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+        "relu": jax.nn.relu,
+        "None": lambda x: x,
+        "identity": lambda x: x,
+    }[name]
+
+
+class QLinear(nn.Module):
+    """StatsQ(weight) + bias->LSQ->bias(input) + matmul.
+
+    Reference: qlinear.py:28-87 (`QLinear`).  `symmetric=False` selects an
+    all-positive (unsigned) input quantizer — used for post-GELU fc2 inputs.
+    """
+
+    features: int
+    weight_bits: int = 8
+    input_bits: int = 8
+    symmetric: bool = True
+    aq_learnable: bool = True
+    use_bias: bool = True
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros
+    matmul_impl: Optional[str] = None
+    compute_dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init, (in_features, self.features), jnp.float32
+        )
+        if self.input_bits < 32:
+            x = LearnableBias(in_features, name="move_b4")(x)
+            x = LsqAct(
+                bit=self.input_bits,
+                all_positive=not self.symmetric,
+                channel_axis=-2,
+                learnable=self.aq_learnable,
+                name="input_quant",
+            )(x)
+            x = LearnableBias(in_features, name="move_aft")(x)
+        if self.weight_bits < 32:
+            y = statsq_matmul(
+                x, kernel, self.weight_bits,
+                impl=self.matmul_impl, compute_dtype=self.compute_dtype,
+            )
+        else:
+            y = x @ kernel
+        if self.use_bias:
+            b = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+            y = y + b.astype(y.dtype)
+        return y
+
+
+class LsqLinear(nn.Module):
+    """Full-LSQ linear: learned-scale weights AND activations.
+
+    Reference: qlinear.py:254-313 (`LSQ_w_and_act_QLinear`), selected when
+    both quant modes are 'lsq'.
+    """
+
+    features: int
+    weight_bits: int = 8
+    input_bits: int = 8
+    symmetric: bool = True
+    aq_learnable: bool = True
+    wq_learnable: bool = True
+    weight_per_channel: bool = True
+    use_bias: bool = True
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init, (in_features, self.features), jnp.float32
+        )
+        if self.input_bits < 32:
+            x = LearnableBias(in_features, name="move_b4")(x)
+            x = LsqAct(
+                bit=self.input_bits,
+                all_positive=not self.symmetric,
+                channel_axis=-2,
+                learnable=self.aq_learnable,
+                name="input_quant",
+            )(x)
+            x = LearnableBias(in_features, name="move_aft")(x)
+        wq = LsqWeight(
+            bit=self.weight_bits,
+            per_channel=self.weight_per_channel,
+            learnable=self.wq_learnable,
+            name="weight_quant",
+        )(kernel)
+        y = x @ wq
+        if self.use_bias:
+            b = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+            y = y + b.astype(y.dtype)
+        return y
+
+
+class QHeadLinear(nn.Module):
+    """W8A8 classifier head: per-tensor input LSQ + per-row weight LSQ.
+
+    Reference: qlinear.py:193-252 (`LSQ_QLinear4head`); pinned to 8/8 bits
+    by the surgery tables regardless of the target bit-width
+    (modules/utils.py:85-101).
+    """
+
+    features: int
+    weight_bits: int = 8
+    input_bits: int = 8
+    aq_learnable: bool = True
+    wq_learnable: bool = True
+    kernel_init: Callable = nn.initializers.zeros
+    bias_init: Callable = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init, (in_features, self.features), jnp.float32
+        )
+        x = LearnableBias(in_features, name="move_b4")(x)
+        x = LsqAct(
+            bit=self.input_bits,
+            all_positive=False,
+            channel_axis=None,  # per-tensor (LsqQuantizer4head_input)
+            learnable=self.aq_learnable,
+            name="input_quant",
+        )(x)
+        x = LearnableBias(in_features, name="move_aft")(x)
+        wq = LsqWeight(
+            bit=self.weight_bits, per_channel=True,
+            learnable=self.wq_learnable, name="weight_quant",
+        )(kernel)
+        y = x @ wq
+        b = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+        return y + b.astype(y.dtype)
+
+
+class QMlp(nn.Module):
+    """Quantized transformer MLP: fc1 (symmetric input) -> act -> fc2
+    (asymmetric input, `symmetric=False`).
+
+    Reference: qlinear.py:89-136 (`QMLP`); the fc2 asymmetry is qlinear.py:119.
+    `lsq_weights=True` selects the full-LSQ pair (`LSQ_w_and_act_QMLP`,
+    qlinear.py:315-363).
+    """
+
+    hidden_features: int
+    out_features: int
+    weight_bits: int = 8
+    input_bits: int = 8
+    aq_learnable: bool = True
+    wq_learnable: bool = True
+    act_layer: str = "gelu"
+    dropout_rate: float = 0.0
+    lsq_weights: bool = False
+    matmul_impl: Optional[str] = None
+    compute_dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        if self.lsq_weights:
+            fc1 = LsqLinear(
+                self.hidden_features, weight_bits=self.weight_bits,
+                input_bits=self.input_bits, symmetric=True,
+                aq_learnable=self.aq_learnable, wq_learnable=self.wq_learnable,
+                name="fc1")
+            fc2 = LsqLinear(
+                self.out_features, weight_bits=self.weight_bits,
+                input_bits=self.input_bits, symmetric=False,
+                aq_learnable=self.aq_learnable, wq_learnable=self.wq_learnable,
+                name="fc2")
+        else:
+            fc1 = QLinear(
+                self.hidden_features, weight_bits=self.weight_bits,
+                input_bits=self.input_bits, symmetric=True,
+                aq_learnable=self.aq_learnable,
+                matmul_impl=self.matmul_impl, compute_dtype=self.compute_dtype,
+                name="fc1")
+            fc2 = QLinear(
+                self.out_features, weight_bits=self.weight_bits,
+                input_bits=self.input_bits, symmetric=False,
+                aq_learnable=self.aq_learnable,
+                matmul_impl=self.matmul_impl, compute_dtype=self.compute_dtype,
+                name="fc2")
+        x = fc1(x)
+        x = _act_fn(self.act_layer)(x)
+        x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
+        x = fc2(x)
+        x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
+        return x
+
+
+class Mlp(nn.Module):
+    """Float transformer MLP (reference: deit_vision_transformer.py:53-83)."""
+
+    hidden_features: int
+    out_features: int
+    act_layer: str = "gelu"
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        x = nn.Dense(self.hidden_features, name="fc1")(x)
+        x = _act_fn(self.act_layer)(x)
+        x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
+        x = nn.Dense(self.out_features, name="fc2")(x)
+        x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
+        return x

@@ -5,7 +5,12 @@ Must run before the first `import jax` anywhere in the test session.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The axon sitecustomize registers the TPU tunnel whenever
+# PALLAS_AXON_POOL_IPS is set and forces platforms to "axon,cpu";
+# tests must run on the local CPU backend (the tunnel has huge per-op
+# latency), so drop the trigger before jax import.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,6 +19,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize may have imported jax before this conftest ran and
+# pinned platforms to "axon,cpu"; as long as no backend is initialized yet,
+# this override still wins.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 import pytest  # noqa: E402
