@@ -1,0 +1,123 @@
+"""Jitted train / eval steps.
+
+The reference's per-step hot loop (train.py:860-995; CGA variant
+cga.py:885-1074) becomes one jitted function: student forward, teacher
+forward (stop-grad), KD loss, backward through the STEs, optional CGA
+gradient masking + post-step restore, AdamW update, EMA — all on device,
+no host sync per step.  The teacher runs inside the same jitted step
+(reference runs it under no_grad on the same stream).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import cga as cga_lib
+from .losses import hard_ce, kd_soft_and_hard, kd_soft_hard_qk, soft_ce
+from .optim import ema_update
+from .state import TrainState
+
+
+def make_train_step(
+    model,
+    tx,
+    *,
+    teacher=None,
+    loss_kind: str = "kd_soft_hard",  # ce | kd_soft | kd_soft_hard | kd_qk | kd_qkv
+    label_smoothing: float = 0.0,
+    ema_decay: Optional[float] = None,
+    cga: Optional[dict] = None,  # dict(bits, boundary_range, qk_reparam, model_type)
+) -> Callable:
+    """Build the jitted train step closure.
+
+    `cga` enables the outer freeze/restore transform (cga.py:940-1013
+    semantics; see ofq_tpu/train/cga.py).
+    """
+
+    def loss_fn(params, batch, rng, teacher_params):
+        rngs = {"dropout": rng, "droppath": jax.random.fold_in(rng, 1)}
+        student_out, student_info = model.apply(
+            {"params": params}, batch["image"], train=True, rngs=rngs)
+        if loss_kind == "ce":
+            out = student_out[0] if isinstance(student_out, tuple) else student_out
+            loss = hard_ce(out, batch["label"], label_smoothing)
+        else:
+            t_out, t_info = teacher.apply(
+                {"params": teacher_params}, batch["image"], train=False)
+            t_logits = jax.lax.stop_gradient(
+                t_out[0] if isinstance(t_out, tuple) else t_out)
+            if loss_kind == "kd_soft":
+                out = student_out[0] if isinstance(student_out, tuple) else student_out
+                loss = soft_ce(out, t_logits)
+            elif loss_kind == "kd_soft_hard":
+                loss = kd_soft_and_hard(student_out, batch["label"], t_logits)
+            elif loss_kind in ("kd_qk", "kd_qkv"):
+                t_info = jax.lax.stop_gradient(t_info)
+                loss = kd_soft_hard_qk(
+                    student_out, student_info, batch["label"], t_logits,
+                    t_info, include_v=(loss_kind == "kd_qkv"))
+            else:
+                raise ValueError(loss_kind)
+        return loss
+
+    def train_step(state: TrainState, batch, rng, teacher_params=None):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params["params"], batch, rng, teacher_params)
+
+        masks = None
+        if cga is not None:
+            masks = cga_lib.freeze_masks(
+                state.params["params"],
+                bits=cga["bits"], boundary_range=cga["boundary_range"],
+                qk_reparam=cga["qk_reparam"],
+                model_type=cga.get("model_type", "deit"))
+            grads = cga_lib.mask_grads(grads, masks)
+
+        updates, new_opt_state = tx.update(
+            grads, state.opt_state, state.params["params"])
+        import optax
+
+        new_params = optax.apply_updates(state.params["params"], updates)
+        if masks is not None:
+            new_params = cga_lib.restore_frozen(
+                state.params["params"], new_params, masks)
+
+        new_ema = state.ema_params
+        if ema_decay is not None and state.ema_params is not None:
+            new_ema = ema_update(state.ema_params, new_params, ema_decay)
+
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+        }
+        return state.replace(
+            params={**state.params, "params": new_params},
+            opt_state=new_opt_state,
+            step=state.step + 1,
+            ema_params=new_ema,
+        ), metrics
+
+    return train_step
+
+
+def make_eval_step(model) -> Callable:
+    """Top-1/top-5 correctness counts for one batch (train.py:1012-1083)."""
+
+    def eval_step(params, batch):
+        logits, _ = model.apply({"params": params}, batch["image"], train=False)
+        top5 = jax.lax.top_k(logits, 5)[1]
+        label = batch["label"][:, None]
+        correct1 = jnp.sum(top5[:, :1] == label)
+        correct5 = jnp.sum(top5 == label)
+        return {
+            "correct1": correct1,
+            "correct5": correct5,
+            "count": jnp.asarray(batch["label"].shape[0], jnp.int32),
+            "loss_sum": hard_ce(logits, batch["label"]) * batch["label"].shape[0],
+        }
+
+    return eval_step

@@ -1,0 +1,112 @@
+"""Optimizer construction: AdamW with no-weight-decay masks, AGC, EMA.
+
+Reference equivalents:
+  * `create_optimizer_v2(opt='adamw')` + the model's `no_weight_decay()`
+    set {pos_embed, cls_token, dist_token} (train.py:662,
+    deit_vision_transformer.py:272-274).  timm also exempts all 1-D params
+    (biases, norms) from weight decay — preserved here.
+  * `adaptive_clip_grad` (AGC) (src/quantization/utils.py:8-27).
+  * `ModelEmaV2` (train.py:709-715) as a pure EMA update.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+_NO_DECAY_NAMES = ("pos_embed", "cls_token", "dist_token")
+
+
+def wd_mask(params) -> object:
+    """True where weight decay applies: >=2-D params not in the no-decay
+    set (timm convention: 1-D params — biases, LN/LSQ scales, LearnableBias
+    — are never decayed)."""
+
+    def mask_leaf(path, leaf):
+        names = [getattr(p, "key", "") for p in path]
+        if any(n in _NO_DECAY_NAMES for n in names):
+            return False
+        # timm exempts params named *.bias and all <=1-D params; our 2-D
+        # ImageBias ('bias') and LSQ scales ('s') fall under the same rule.
+        if names and names[-1] in ("bias", "s"):
+            return False
+        return leaf.ndim >= 2
+
+    flat = jax.tree_util.tree_map_with_path(mask_leaf, params)
+    return flat
+
+
+def unitwise_norm(x: jax.Array) -> jax.Array:
+    """L2 norm per output unit (axis 0 kept for >=2-D). utils.py:8-12."""
+    if x.ndim <= 1:
+        return jnp.linalg.norm(x)
+    axes = tuple(range(1, x.ndim))
+    return jnp.sqrt(jnp.sum(x * x, axis=axes, keepdims=True))
+
+
+def adaptive_grad_clip(clip_factor: float = 0.01, eps: float = 1e-3
+                       ) -> optax.GradientTransformation:
+    """AGC: clip each unit's gradient to clip_factor * ||param||.
+
+    Reference: utils.py:15-27 (`adaptive_clip_grad`), selected by
+    `--clip-mode agc`.
+    """
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        assert params is not None
+
+        def clip_leaf(g, p):
+            p_norm = jnp.maximum(unitwise_norm(p), eps) * clip_factor
+            g_norm = unitwise_norm(g)
+            clipped = g * (p_norm / jnp.maximum(g_norm, 1e-6))
+            return jnp.where(g_norm < p_norm, g, clipped)
+
+        return jax.tree.map(clip_leaf, updates, params), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_optimizer(
+    lr_schedule: Callable,
+    *,
+    weight_decay: float = 0.05,
+    betas: tuple[float, float] = (0.9, 0.999),
+    eps: float = 1e-8,
+    clip_grad: Optional[float] = None,
+    clip_mode: str = "norm",
+    agc_factor: float = 0.01,
+) -> optax.GradientTransformation:
+    """AdamW + optional gradient clipping, mirroring the reference flags."""
+    chain = []
+    if clip_grad is not None:
+        if clip_mode == "norm":
+            chain.append(optax.clip_by_global_norm(clip_grad))
+        elif clip_mode == "value":
+            chain.append(optax.clip(clip_grad))
+        elif clip_mode == "agc":
+            chain.append(adaptive_grad_clip(clip_factor=agc_factor))
+        else:
+            raise ValueError(clip_mode)
+    chain.append(
+        optax.adamw(
+            learning_rate=lr_schedule,
+            b1=betas[0], b2=betas[1], eps=eps,
+            weight_decay=weight_decay,
+            mask=wd_mask,
+        )
+    )
+    return optax.chain(*chain)
+
+
+def ema_update(ema_params, params, decay: float = 0.9999):
+    """ModelEmaV2-style exponential moving average of the param pytree."""
+    return jax.tree.map(
+        lambda e, p: decay * e + (1.0 - decay) * p, ema_params, params)

@@ -1,0 +1,29 @@
+"""Train state pytree."""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.struct
+import jax
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jax.Array
+    epoch: jax.Array
+    ema_params: Optional[Any] = None
+
+    @classmethod
+    def create(cls, params, tx, ema: bool = False):
+        import jax.numpy as jnp
+
+        return cls(
+            params=params,
+            opt_state=tx.init(params["params"]),
+            step=jnp.zeros((), jnp.int32),
+            epoch=jnp.zeros((), jnp.int32),
+            ema_params=jax.tree.map(lambda x: x, params["params"]) if ema else None,
+        )
