@@ -1,0 +1,88 @@
+"""Benchmark: DeiT-S W2A2 QAT training-step throughput on one TPU chip.
+
+Measures the full reference recipe step (student fwd/bwd through every
+fake-quant STE, FP teacher forward, KD soft+hard loss, AdamW update) on
+synthetic data — the exact hot loop of train_scripts/deit_s/w2a2_deit_s.sh.
+
+Baseline: the reference publishes no throughput numbers (SURVEY.md §6);
+its training hardware is 4-8 A100-class GPUs.  We anchor vs_baseline to an
+estimated 320 img/s per A100 for this workload (FP32 DeiT-S fwd+bwd+teacher
+with per-tensor fake-quant overhead in torch eager), i.e. vs_baseline =
+imgs_per_sec_per_chip / 320.  BENCH_r*.json history tracks the trend.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_ESTIMATE_IMGS_PER_SEC = 320.0
+BATCH = 128
+WARMUP = 3
+ITERS = 10
+
+
+def main():
+    from ofq_tpu.models import deit_model
+    from ofq_tpu.quant import default_deit_qmodules, policy_from_args
+    from ofq_tpu.train import TrainState, make_optimizer, make_train_step
+    from ofq_tpu.train.schedule import cosine_with_warmup_cooldown
+
+    policy = policy_from_args(
+        wq_bitw=2, aq_bitw=2, qmodules=default_deit_qmodules(12),
+        qk_reparam=True, qk_reparam_type=0)
+    student = deit_model("deit_small_distilled_patch16_224", policy=policy)
+    teacher = deit_model("deit_small_distilled_patch16_224")
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(BATCH, 224, 224, 3)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 1000, size=(BATCH,)), jnp.int32)
+    batch = {"image": x, "label": labels}
+
+    sparams = jax.jit(
+        lambda k, xx: student.init({"params": k}, xx, train=False)
+    )(jax.random.key(0), x[:8])
+    tparams = jax.jit(
+        lambda k, xx: teacher.init({"params": k}, xx, train=False)
+    )(jax.random.key(1), x[:8])["params"]
+
+    lr_fn = cosine_with_warmup_cooldown(
+        5.47e-4, epochs=300, warmup_epochs=5, warmup_lr=1e-6, min_lr=1e-5)
+    tx = make_optimizer(lr_fn, weight_decay=0.05)
+    state = jax.jit(lambda p: TrainState.create(p, tx))(sparams)
+
+    step = jax.jit(
+        make_train_step(student, tx, teacher=teacher,
+                        loss_kind="kd_soft_hard"),
+        donate_argnums=(0,))
+
+    key = jax.random.key(2)
+    for i in range(WARMUP):
+        state, metrics = step(state, batch, jax.random.fold_in(key, i), tparams)
+    # NOTE: under the axon TPU tunnel block_until_ready returns before the
+    # remote execution finishes; a host fetch is the only true barrier.
+    float(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        state, metrics = step(
+            state, batch, jax.random.fold_in(key, WARMUP + i), tparams)
+    float(metrics["loss"])  # host fetch == completion barrier
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = BATCH * ITERS / dt
+    print(json.dumps({
+        "metric": "deit_s_w2a2_qkr_qat_train_throughput",
+        "value": round(imgs_per_sec, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(imgs_per_sec / A100_ESTIMATE_IMGS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
