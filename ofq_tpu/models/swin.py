@@ -1,0 +1,509 @@
+"""Swin Transformer (Swin-T) family, float and quantized, in Flax.
+
+TPU-native rebuild of the reference's forked torchvision Swin
+(reference: src/swin.py) and its quantized attention/MLP modules
+(reference: src/quantization/modules/swin_attention_and_mlp.py).
+
+Behavioral contracts preserved:
+  * forward returns `(logits, attn_infos)`; blocks thread (x, attn) tuples
+    (swin.py:309-322, 441-448),
+  * window partition / cyclic shift / padding geometry and the shifted-
+    window attention mask (swin.py:94-159) — here the mask and relative-
+    position index are *static* numpy computations done once at trace time
+    (shapes are static under jit), so no in-graph masked_fill loops,
+  * quantized attention: QLinear qkv/proj, per-token LSQ on q/k, per-channel
+    LSQ on v, all-positive LSQ after softmax, with the relative-position
+    bias added BEFORE the shift mask (swin_attention_and_mlp.py:201-221),
+  * QKR variants quantize the per-head W_qk product inside each window
+    batch (swin_attention_and_mlp.py:253-671),
+  * PatchMerging: pad-odd + 4-neighbor concat + LN + bias-free reduction
+    linear, quantized via the 'features.N.reduction' policy path
+    (swin.py:26-59, modules path strings in configs/swin_t_imagenet yml),
+  * Swin-T geometry: patch 4, dim 96, depths [2,2,6,2], heads [3,6,12,24],
+    window 7 (swin.py:534-544).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..nn.attention import Attention  # noqa: F401 (float path below is custom)
+from ..nn.bias import LearnableBias
+from ..nn.conv import QPatchEmbedConv
+from ..nn.linear import Mlp, QHeadLinear, QLinear, QMlp
+from ..nn.quantizers import LsqAct
+from ..quant.policy import QuantPolicy
+from ..quant.statsq import statsq_quantize
+from .deit import _drop_path
+
+
+@dataclasses.dataclass(frozen=True)
+class SwinConfig:
+    img_size: int = 224
+    patch_size: int = 4
+    embed_dim: int = 96
+    depths: Tuple[int, ...] = (2, 2, 6, 2)
+    num_heads: Tuple[int, ...] = (3, 6, 12, 24)
+    window_size: int = 7
+    mlp_ratio: float = 4.0
+    num_classes: int = 1000
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.2
+    qqkkvv: bool = False
+    ln_eps: float = 1e-5
+
+
+SWIN_TINY = SwinConfig()
+
+
+# ---------------------------------------------------------------- geometry
+def _rel_pos_index(wh: int, ww: int) -> np.ndarray:
+    """Static relative-position index table (swin.py:211-222)."""
+    coords = np.stack(np.meshgrid(np.arange(wh), np.arange(ww), indexing="ij"))
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += wh - 1
+    rel[:, :, 1] += ww - 1
+    rel[:, :, 0] *= 2 * ww - 1
+    return rel.sum(-1).reshape(-1)  # (wh*ww*wh*ww,)
+
+
+def _shift_attn_mask(pad_h: int, pad_w: int, window: int,
+                     shift: int) -> np.ndarray:
+    """Static additive mask for shifted windows: (nW, ws*ws, ws*ws) with 0 /
+    -100 entries (swin.py:125-141)."""
+    img = np.zeros((pad_h, pad_w), np.float32)
+    h_slices = (slice(0, -window), slice(-window, -shift), slice(-shift, None))
+    w_slices = (slice(0, -window), slice(-window, -shift), slice(-shift, None))
+    cnt = 0
+    for hs in h_slices:
+        for ws in w_slices:
+            img[hs, ws] = cnt
+            cnt += 1
+    img = img.reshape(pad_h // window, window, pad_w // window, window)
+    img = img.transpose(0, 2, 1, 3).reshape(-1, window * window)
+    diff = img[:, None, :] - img[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+def window_partition(x: jax.Array, window: int):
+    """(B, H, W, C) -> (B*nW, ws*ws, C); H, W already padded."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // window, window, W // window, window, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B * (H // window) * (W // window), window * window, C)
+
+
+def window_reverse(x: jax.Array, window: int, B: int, H: int, W: int):
+    C = x.shape[-1]
+    x = x.reshape(B, H // window, W // window, window, window, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H, W, C)
+
+
+def _pad_shift(x: jax.Array, window: int, shift: int):
+    B, H, W, C = x.shape
+    pad_r = (window - W % window) % window
+    pad_b = (window - H % window) % window
+    x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+    pad_h, pad_w = H + pad_b, W + pad_r
+    if window >= pad_h or window >= pad_w:
+        shift = 0
+    if shift > 0:
+        x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
+    return x, pad_h, pad_w, shift
+
+
+def _unshift_unpad(x: jax.Array, H: int, W: int, shift: int):
+    if shift > 0:
+        x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
+    return x[:, :H, :W, :]
+
+
+# ------------------------------------------------------------- attention
+class WindowAttentionBase(nn.Module):
+    """Shared geometry wrapper; subclasses provide the token-level core."""
+
+    dim: int
+    num_heads: int
+    window_size: int
+    shift_size: int
+    qqkkvv: bool = False
+
+    def rel_pos_bias(self):
+        w = self.window_size
+        n = w * w
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * w - 1) * (2 * w - 1), self.num_heads))
+        idx = _rel_pos_index(w, w)
+        bias = table[idx].reshape(n, n, self.num_heads)
+        return bias.transpose(2, 0, 1)[None]  # (1, nH, n, n)
+
+    def geometry(self, x):
+        B, H, W, _ = x.shape
+        xs, pad_h, pad_w, shift = _pad_shift(x, self.window_size, self.shift_size)
+        tokens = window_partition(xs, self.window_size)
+        mask = None
+        if shift > 0:
+            mask = jnp.asarray(
+                _shift_attn_mask(pad_h, pad_w, self.window_size, shift))
+        return tokens, (B, H, W, pad_h, pad_w, shift), mask
+
+    def finish(self, out_tokens, geom):
+        B, H, W, pad_h, pad_w, shift = geom
+        x = window_reverse(out_tokens, self.window_size, B, pad_h, pad_w)
+        return _unshift_unpad(x, H, W, shift)
+
+    def apply_mask(self, attn, mask, num_windows):
+        if mask is None:
+            return attn
+        BnW, nH, n, _ = attn.shape
+        attn = attn.reshape(BnW // num_windows, num_windows, nH, n, n)
+        attn = attn + mask[None, :, None]
+        return attn.reshape(BnW, nH, n, n)
+
+
+class SwinAttention(WindowAttentionBase):
+    """Float shifted-window attention (swin.py:62-170)."""
+
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        tokens, geom, mask = self.geometry(x)
+        Bn, n, C = tokens.shape
+        H = self.num_heads
+        d = C // H
+        qkv = nn.Dense(3 * C, name="qkv")(tokens)
+        qkv = qkv.reshape(Bn, n, 3, H, d).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k) * (d ** -0.5)
+        attn = attn + self.rel_pos_bias()
+        num_windows = (geom[3] // self.window_size) * (geom[4] // self.window_size)
+        attn = self.apply_mask(attn, mask, num_windows)
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn_info = None
+        if self.qqkkvv:
+            sq = 1.0 / jnp.sqrt(d)
+            attn_info = (
+                attn,
+                jnp.einsum("bhnd,bhmd->bhnm", q, q) * sq,
+                jnp.einsum("bhnd,bhmd->bhnm", k, k) * sq,
+                jnp.einsum("bhnd,bhmd->bhnm", v, v) * sq,
+            )
+        attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(Bn, n, C)
+        out = nn.Dense(C, name="proj")(out)
+        out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
+        return self.finish(out, geom), attn_info
+
+
+class QSwinAttention(WindowAttentionBase):
+    """Quantized shifted-window attention
+    (swin_attention_and_mlp.py:65-251, `QAttention_swin`)."""
+
+    weight_bits: int = 8
+    input_bits: int = 8
+    aq_learnable: bool = True
+    wq_learnable: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        tokens, geom, mask = self.geometry(x)
+        Bn, n, C = tokens.shape
+        H = self.num_heads
+        d = C // H
+        lin_kwargs = dict(weight_bits=self.weight_bits,
+                          input_bits=self.input_bits, symmetric=True,
+                          aq_learnable=self.aq_learnable)
+        qkv = QLinear(3 * C, name="qkv", **lin_kwargs)(tokens)
+        if self.input_bits < 32:
+            qkv = LearnableBias(3 * C, name="move_qkv_b4")(qkv)
+        qkv = qkv.reshape(Bn, n, 3, H, d).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        q = LsqAct(self.input_bits, channel_axis=-2,
+                   learnable=self.aq_learnable, name="quan_q")(q)
+        k = LsqAct(self.input_bits, channel_axis=-2,
+                   learnable=self.aq_learnable, name="quan_k")(k)
+        v = v.transpose(0, 2, 1, 3).reshape(Bn, n, C)
+        v = LsqAct(self.input_bits, channel_axis=-1,
+                   learnable=self.aq_learnable, name="quan_v")(v)
+        if self.input_bits < 32:
+            q = q.transpose(0, 2, 1, 3).reshape(Bn, n, C)
+            k = k.transpose(0, 2, 1, 3).reshape(Bn, n, C)
+            q = LearnableBias(C, name="move_q_aft")(q)
+            k = LearnableBias(C, name="move_k_aft")(k)
+            v = LearnableBias(C, name="move_v_aft")(v)
+            q = q.reshape(Bn, n, H, d).transpose(0, 2, 1, 3)
+            k = k.reshape(Bn, n, H, d).transpose(0, 2, 1, 3)
+        v = v.reshape(Bn, n, H, d).transpose(0, 2, 1, 3)
+
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k) * (d ** -0.5)
+        attn = attn + self.rel_pos_bias()
+        num_windows = (geom[3] // self.window_size) * (geom[4] // self.window_size)
+        attn = self.apply_mask(attn, mask, num_windows)
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = LsqAct(self.input_bits, all_positive=True, channel_axis=-2,
+                      learnable=self.aq_learnable, name="quan_softmax")(attn)
+        attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(Bn, n, C)
+        out = QLinear(C, name="proj", **lin_kwargs)(out)
+        out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
+        return self.finish(out, geom), None
+
+
+class QSwinAttentionQKR(WindowAttentionBase):
+    """QKR inside windowed attention — same algebra as the DeiT QKR, batched
+    over windows (swin_attention_and_mlp.py:253-671; the CGA variant is
+    numerically identical, its freeze logic lives in the outer optimizer
+    transform)."""
+
+    weight_bits: int = 8
+    input_bits: int = 8
+    aq_learnable: bool = True
+    wq_learnable: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        tokens, geom, mask = self.geometry(x)
+        Bn, n, C = tokens.shape
+        H = self.num_heads
+        d = C // H
+
+        xq = LearnableBias(C, name="quant_x_move_b4")(tokens)
+        xq = LsqAct(self.input_bits, channel_axis=-2,
+                    learnable=self.aq_learnable, name="quant_x")(xq)
+        xq = LearnableBias(C, name="quant_x_move_aft")(xq)
+
+        v_kernel = self.param(
+            "v_kernel", nn.initializers.lecun_normal(), (C, C), jnp.float32)
+        v_bias = self.param("v_bias", nn.initializers.zeros, (C,), jnp.float32)
+        v_out = xq @ statsq_quantize(v_kernel, self.weight_bits) + v_bias
+        v_out = LearnableBias(C, name="move_v_b4")(v_out)
+        v_out = LsqAct(self.input_bits, channel_axis=-1,
+                       learnable=self.aq_learnable, name="quan_v")(v_out)
+        v_out = LearnableBias(C, name="move_v_aft")(v_out)
+        v = v_out.reshape(Bn, n, H, d).transpose(0, 2, 1, 3)
+
+        q_kernel = self.param(
+            "q_kernel", nn.initializers.lecun_normal(), (C, C), jnp.float32)
+        k_kernel = self.param(
+            "k_kernel", nn.initializers.lecun_normal(), (C, C), jnp.float32)
+        w_qk = jnp.einsum("ihd,jhd->hij",
+                          q_kernel.reshape(C, H, d), k_kernel.reshape(C, H, d))
+        w_qk = statsq_quantize(
+            w_qk.reshape(H * C, C), self.weight_bits, reduce_axis=-1
+        ).reshape(H, C, C)
+
+        qkx = jnp.einsum("hij,bnj->bhin", w_qk, xq)
+        qkx = qkx.transpose(0, 3, 1, 2).reshape(Bn, n, H * C)
+        qkx = LearnableBias(H * C, name="move_qkx_b4")(qkx)
+        qkx = qkx.reshape(Bn, n * H, C)
+        qkx = LsqAct(self.input_bits, channel_axis=-2,
+                     learnable=self.aq_learnable, name="quan_qkx")(qkx)
+        qkx = qkx.reshape(Bn, n, H * C)
+        qkx = LearnableBias(H * C, name="move_qkx_aft")(qkx)
+        qkx = qkx.reshape(Bn, n, H, C).transpose(0, 2, 3, 1)
+
+        attn = jnp.einsum("bnc,bhcm->bhnm", xq, qkx) * (d ** -0.5)
+        attn = attn + self.rel_pos_bias()
+        num_windows = (geom[3] // self.window_size) * (geom[4] // self.window_size)
+        attn = self.apply_mask(attn, mask, num_windows)
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = LsqAct(self.input_bits, all_positive=True, channel_axis=-2,
+                      learnable=self.aq_learnable, name="quan_softmax")(attn)
+        attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(Bn, n, C)
+        out = QLinear(
+            C, weight_bits=self.weight_bits, input_bits=self.input_bits,
+            symmetric=True, aq_learnable=self.aq_learnable, name="proj")(out)
+        out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
+        return self.finish(out, geom), None
+
+
+# ------------------------------------------------------------- structure
+class PatchMerging(nn.Module):
+    """4-neighbor downsample + LN + (optionally quantized) reduction linear
+    (swin.py:26-59)."""
+
+    dim: int
+    policy: QuantPolicy
+    qpath: str  # e.g. "features.2.reduction"
+    ln_eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        x = jnp.pad(x, ((0, 0), (0, H % 2), (0, W % 2), (0, 0)))
+        x0 = x[:, 0::2, 0::2]
+        x1 = x[:, 1::2, 0::2]
+        x2 = x[:, 0::2, 1::2]
+        x3 = x[:, 1::2, 1::2]
+        x = jnp.concatenate([x0, x1, x2, x3], axis=-1)  # (B, H/2, W/2, 4C)
+        x = nn.LayerNorm(epsilon=self.ln_eps, name="norm")(x)
+        if self.policy.quantizes(self.qpath):
+            pol = self.policy
+            # QLinear's per-token LSQ needs a token axis: flatten spatial.
+            b, h2, w2, c4 = x.shape
+            flat = x.reshape(b, h2 * w2, c4)
+            flat = QLinear(
+                2 * self.dim, weight_bits=pol.weight.bit,
+                input_bits=pol.act.bit, symmetric=True,
+                aq_learnable=pol.act.learnable, use_bias=False,
+                name="reduction")(flat)
+            return flat.reshape(b, h2, w2, 2 * self.dim)
+        return nn.Dense(2 * self.dim, use_bias=False, name="reduction")(x)
+
+
+class SwinBlock(nn.Module):
+    cfg: SwinConfig
+    policy: QuantPolicy
+    dim: int
+    num_heads: int
+    shift: int
+    attn_path: str
+    mlp_path: str
+    drop_path: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        cfg, pol = self.cfg, self.policy
+        h = nn.LayerNorm(epsilon=cfg.ln_eps, name="norm1")(x)
+        common = dict(dim=self.dim, num_heads=self.num_heads,
+                      window_size=cfg.window_size, shift_size=self.shift,
+                      attn_drop=cfg.attn_drop_rate, proj_drop=cfg.drop_rate)
+        if pol.quantizes(self.attn_path):
+            if pol.qk_reparam:
+                attn_out, info = QSwinAttentionQKR(
+                    weight_bits=pol.weight.bit, input_bits=pol.act.bit,
+                    aq_learnable=pol.act.learnable,
+                    wq_learnable=pol.weight.learnable,
+                    name="attn", **common)(h, deterministic=deterministic)
+            else:
+                attn_out, info = QSwinAttention(
+                    weight_bits=pol.weight.bit, input_bits=pol.act.bit,
+                    aq_learnable=pol.act.learnable,
+                    wq_learnable=pol.weight.learnable,
+                    name="attn", **common)(h, deterministic=deterministic)
+        else:
+            attn_out, info = SwinAttention(
+                qqkkvv=cfg.qqkkvv, name="attn", **common
+            )(h, deterministic=deterministic)
+        if self.drop_path > 0 and not deterministic:
+            attn_out = _drop_path(attn_out, self.drop_path, deterministic,
+                                  self.make_rng("droppath"))
+        x = x + attn_out
+
+        h = nn.LayerNorm(epsilon=cfg.ln_eps, name="norm2")(x)
+        hidden = int(self.dim * cfg.mlp_ratio)
+        b, hh, ww, c = h.shape
+        flat = h.reshape(b, hh * ww, c)
+        if pol.quantizes(self.mlp_path):
+            flat = QMlp(
+                hidden_features=hidden, out_features=self.dim,
+                weight_bits=pol.weight.bit, input_bits=pol.act.bit,
+                aq_learnable=pol.act.learnable,
+                wq_learnable=pol.weight.learnable,
+                act_layer=pol.act_layer, dropout_rate=cfg.drop_rate,
+                name="mlp")(flat, deterministic=deterministic)
+        else:
+            flat = Mlp(hidden_features=hidden, out_features=self.dim,
+                       dropout_rate=cfg.drop_rate,
+                       name="mlp")(flat, deterministic=deterministic)
+        mlp_out = flat.reshape(b, hh, ww, c)
+        if self.drop_path > 0 and not deterministic:
+            mlp_out = _drop_path(mlp_out, self.drop_path, deterministic,
+                                 self.make_rng("droppath"))
+        return x + mlp_out, info
+
+
+class SwinTransformer(nn.Module):
+    cfg: SwinConfig
+    policy: QuantPolicy = QuantPolicy()
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False):
+        cfg, pol = self.cfg, self.policy
+        deterministic = not train
+        P = cfg.patch_size
+
+        # features.0: patch embed conv (+LN). Quantized path pinned W8A8.
+        if pol.quantizes("features.0.0"):
+            x = QPatchEmbedConv(
+                features=cfg.embed_dim, patch_size=(P, P),
+                img_size=(cfg.img_size,) * 2, name="patch_embed")(x)
+        else:
+            x = nn.Conv(cfg.embed_dim, kernel_size=(P, P), strides=(P, P),
+                        padding="VALID", name="patch_embed")(x)
+        x = nn.LayerNorm(epsilon=cfg.ln_eps, name="patch_norm")(x)
+
+        total_blocks = sum(cfg.depths)
+        block_id = 0
+        feat_idx = 1
+        attn_infos = []
+        dim = cfg.embed_dim
+        for stage, depth in enumerate(cfg.depths):
+            for blk in range(depth):
+                sd = cfg.drop_path_rate * block_id / max(total_blocks - 1, 1)
+                shift = 0 if blk % 2 == 0 else cfg.window_size // 2
+                x, info = SwinBlock(
+                    cfg=cfg, policy=pol, dim=dim,
+                    num_heads=cfg.num_heads[stage], shift=shift,
+                    attn_path=f"features.{feat_idx}.{blk}.attn",
+                    mlp_path=f"features.{feat_idx}.{blk}.mlp",
+                    drop_path=sd,
+                    name=f"features_{feat_idx}_{blk}",
+                )(x, deterministic=deterministic)
+                attn_infos.append(info)
+                block_id += 1
+            feat_idx += 1
+            if stage < len(cfg.depths) - 1:
+                x = PatchMerging(
+                    dim=dim, policy=pol,
+                    qpath=f"features.{feat_idx}.reduction",
+                    ln_eps=cfg.ln_eps,
+                    name=f"features_{feat_idx}")(x)
+                feat_idx += 1
+                dim *= 2
+
+        x = nn.LayerNorm(epsilon=cfg.ln_eps, name="norm")(x)
+        x = jnp.mean(x, axis=(1, 2))  # global average pool
+        if pol.quantizes("head"):
+            logits = QHeadLinear(cfg.num_classes, name="head")(x)
+        else:
+            logits = nn.Dense(cfg.num_classes, name="head")(x)
+        if not cfg.qqkkvv:
+            attn_infos = None
+        return logits, attn_infos
+
+    @staticmethod
+    def no_weight_decay() -> tuple[str, ...]:
+        return ("relative_position_bias_table",)
+
+
+def swin_model(variant: str, policy: QuantPolicy = QuantPolicy(),
+               **overrides: Any) -> SwinTransformer:
+    base = {
+        "swin_t": SWIN_TINY,
+        "swin_tiny_patch4_window7_224": SWIN_TINY,
+    }[variant]
+    cfg = dataclasses.replace(base, **overrides) if overrides else base
+    return SwinTransformer(cfg=cfg, policy=policy)

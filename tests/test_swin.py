@@ -1,0 +1,144 @@
+"""Swin model tests (small geometry on CPU)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ofq_tpu.models.swin import (
+    SWIN_TINY,
+    SwinConfig,
+    SwinTransformer,
+    _rel_pos_index,
+    _shift_attn_mask,
+    swin_model,
+    window_partition,
+    window_reverse,
+)
+from ofq_tpu.quant import QuantPolicy, default_swin_qmodules, policy_from_args
+
+SMALL = SwinConfig(img_size=32, patch_size=4, embed_dim=12,
+                   depths=(1, 1), num_heads=(2, 4), window_size=4,
+                   num_classes=10, drop_path_rate=0.1)
+
+
+def x_batch(b=2, s=32):
+    return jnp.asarray(
+        np.random.default_rng(0).normal(size=(b, s, s, 3)).astype(np.float32))
+
+
+class TestGeometry:
+    def test_window_roundtrip(self):
+        x = jnp.arange(2 * 8 * 8 * 3, dtype=jnp.float32).reshape(2, 8, 8, 3)
+        t = window_partition(x, 4)
+        assert t.shape == (2 * 4, 16, 3)
+        back = window_reverse(t, 4, 2, 8, 8)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+    def test_rel_pos_index_range(self):
+        idx = _rel_pos_index(7, 7)
+        assert idx.shape == (49 * 49,)
+        assert idx.min() >= 0 and idx.max() < 13 * 13
+
+    def test_shift_mask_blocks(self):
+        m = _shift_attn_mask(8, 8, 4, 2)
+        assert m.shape == (4, 16, 16)
+        # unshifted first window has no masking
+        np.testing.assert_array_equal(m[0], 0.0)
+        # some masking present in shifted windows
+        assert (m[-1] == -100.0).any()
+
+
+class TestSwinFloat:
+    def test_forward_shapes(self):
+        m = SwinTransformer(cfg=SMALL)
+        x = x_batch()
+        params = m.init({"params": jax.random.key(0)}, x)
+        logits, info = m.apply(params, x, train=False)
+        assert logits.shape == (2, 10)
+        assert info is None
+
+    def test_qqkkvv(self):
+        m = SwinTransformer(cfg=dataclasses.replace(SMALL, qqkkvv=True))
+        x = x_batch()
+        params = m.init({"params": jax.random.key(0)}, x)
+        _, info = m.apply(params, x, train=False)
+        assert len(info) == 2 and len(info[0]) == 4
+
+    def test_swin_t_param_count(self):
+        # Swin-T reference has ~28.3M params (torchvision meta: 28288354)
+        m = swin_model("swin_t")
+        x = jnp.zeros((1, 224, 224, 3))
+        params = jax.eval_shape(
+            lambda k: m.init({"params": k}, x), jax.random.key(0))
+        n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+        assert abs(n - 28288354) / 28288354 < 0.01, n
+
+
+class TestSwinQuant:
+    def test_quantized_forward_and_structure(self):
+        pol = policy_from_args(
+            wq_bitw=2, aq_bitw=2, qmodules=default_swin_qmodules((1, 1)))
+        m = SwinTransformer(cfg=SMALL, policy=pol)
+        x = x_batch()
+        params = m.init({"params": jax.random.key(0)}, x)
+        logits, _ = m.apply(params, x, train=False)
+        assert logits.shape == (2, 10)
+        p = params["params"]
+        assert "weight_quant" in p["patch_embed"]          # W8A8 conv
+        assert "weight_quant" in p["head"]                 # W8A8 head
+        assert "input_quant" in p["features_1_0"]["attn"]["qkv"]
+        assert "input_quant" in p["features_2"]["reduction"]  # patch merging
+
+    def test_qmodules_list_matches_reference_paths(self):
+        mods = default_swin_qmodules((2, 2, 6, 2))
+        assert mods[0] == "features.0.0"
+        assert "features.2.reduction" in mods
+        assert "features.4.reduction" in mods
+        assert "features.6.reduction" in mods
+        assert "features.5.5.attn" in mods
+        assert mods[-1] == "head"
+        assert len(mods) == 1 + 2 * 12 + 3 + 1
+
+    def test_qkr_swin_grads_finite(self):
+        pol = policy_from_args(
+            wq_bitw=2, aq_bitw=2, qmodules=default_swin_qmodules((1, 1)),
+            qk_reparam=True, qk_reparam_type=1)
+        m = SwinTransformer(cfg=SMALL, policy=pol)
+        x = x_batch()
+        params = m.init({"params": jax.random.key(0)}, x)
+
+        def loss(p):
+            logits, _ = m.apply(
+                p, x, train=True,
+                rngs={"dropout": jax.random.key(1),
+                      "droppath": jax.random.key(2)})
+            return -jnp.mean(
+                jax.nn.log_softmax(logits)[jnp.arange(2), jnp.asarray([1, 2])])
+
+        val, g = jax.jit(jax.value_and_grad(loss))(params)
+        gn = jnp.sqrt(sum(jnp.sum(v ** 2) for v in jax.tree.leaves(g)))
+        assert bool(jnp.isfinite(val)) and float(gn) > 0
+        # QKR params exist in windowed attention
+        assert "v_kernel" in params["params"]["features_1_0"]["attn"]
+
+    def test_cga_selection_swin(self):
+        from ofq_tpu.train import freeze_masks
+
+        pol = policy_from_args(
+            wq_bitw=2, aq_bitw=2, qmodules=default_swin_qmodules((1, 1)),
+            qk_reparam=True, qk_reparam_type=1)
+        m = SwinTransformer(cfg=SMALL, policy=pol)
+        x = x_batch()
+        params = m.init({"params": jax.random.key(0)}, x)
+        masks = freeze_masks(params["params"], bits=2, boundary_range=0.005,
+                             qk_reparam=True, model_type="swin")
+        flat = jax.tree_util.tree_flatten_with_path(
+            masks, is_leaf=lambda z: z is None)[0]
+        selected = ["/".join(getattr(p, "key", "") for p in path)
+                    for path, v in flat if v is not None]
+        # per block: fc1, fc2, proj, v_kernel; plus 1 reduction
+        assert len(selected) == 2 * 4 + 1
+        assert any("reduction" in s for s in selected)
