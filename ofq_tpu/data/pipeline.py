@@ -1,0 +1,235 @@
+"""ImageNet input pipeline: tf.data host-side, NHWC device tensors.
+
+Replaces the reference's timm loader + torchvision ImageFolder + CPU worker
+processes (reference: train.py:574-650 `create_dataset`/`create_loader`,
+plus the timm_fix_imagenet_loading_bugs patch).  Transform parity with the
+shipped recipe (configs/ours_imagenet_recipe.attn_q.yml:1-26):
+
+  train: RandomResizedCrop(224, scale=(0.08, 1.0), bicubic/random interp)
+         -> hflip(0.5) -> RandAugment(m9-mstd0.5-inc1) -> normalize
+         -> RandomErasing(p=0.25, mode='pixel')
+  eval:  resize(shorter -> floor(224/0.9)=248, bicubic) -> center-crop 224
+         -> normalize
+
+A synthetic dataset backs benches/tests/smoke runs on machines without
+ImageNet (this box has none).  Layout is NHWC throughout, sharded on the
+batch axis by the caller.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    data_dir: Optional[str] = None      # None -> synthetic
+    img_size: int = 224
+    batch_size: int = 128
+    num_classes: int = 1000
+    crop_pct: float = 0.9
+    scale: Tuple[float, float] = (0.08, 1.0)
+    aa: Optional[str] = "rand-m9-mstd0.5-inc1"
+    reprob: float = 0.25
+    hflip: float = 0.5
+    mean: Tuple[float, ...] = IMAGENET_MEAN
+    std: Tuple[float, ...] = IMAGENET_STD
+    shuffle_buffer: int = 16384
+    seed: int = 42
+    synthetic_length: int = 1024
+
+
+def _parse_rand_augment(aa: str) -> tuple[int, float, float]:
+    """'rand-m9-mstd0.5-inc1' -> (num_ops=2, magnitude=9, std=0.5)."""
+    num_ops, mag, std = 2, 9.0, 0.5
+    for part in aa.split("-")[1:]:
+        if part.startswith("mstd"):
+            std = float(part[4:])
+        elif part.startswith("m"):
+            mag = float(part[1:])
+        elif part.startswith("n"):
+            num_ops = int(part[1:])
+    return num_ops, mag, std
+
+
+def synthetic_batches(cfg: DataConfig, *, train: bool) -> Iterator[dict]:
+    """Deterministic synthetic data stream (normalized stats)."""
+    rng = np.random.default_rng(cfg.seed + (0 if train else 1))
+    steps = max(cfg.synthetic_length // cfg.batch_size, 1)
+    for _ in range(steps):
+        yield {
+            "image": rng.normal(size=(
+                cfg.batch_size, cfg.img_size, cfg.img_size, 3)
+            ).astype(np.float32),
+            "label": rng.integers(
+                0, cfg.num_classes, size=(cfg.batch_size,)).astype(np.int32),
+        }
+
+
+def _tf():
+    import tensorflow as tf
+
+    tf.config.set_visible_devices([], "GPU")
+    try:
+        tf.config.set_visible_devices([], "TPU")
+    except Exception:
+        pass
+    return tf
+
+
+def _list_imagefolder(data_dir: str, split: str):
+    """ImageFolder layout: <root>/<split>/<class>/<img>."""
+    split_dir = os.path.join(data_dir, split)
+    if not os.path.isdir(split_dir) and split == "validation":
+        split_dir = os.path.join(data_dir, "val")
+    classes = sorted(
+        d for d in os.listdir(split_dir)
+        if os.path.isdir(os.path.join(split_dir, d)))
+    class_idx = {c: i for i, c in enumerate(classes)}
+    files, labels = [], []
+    for c in classes:
+        cdir = os.path.join(split_dir, c)
+        for f in sorted(os.listdir(cdir)):
+            files.append(os.path.join(cdir, f))
+            labels.append(class_idx[c])
+    return files, labels, classes
+
+
+def make_dataset(cfg: DataConfig, *, train: bool):
+    """Returns an iterator of {'image': f32 NHWC, 'label': i32} numpy batches."""
+    if cfg.data_dir is None or cfg.data_dir in ("synthetic", ""):
+        def gen():
+            while True:
+                yield from synthetic_batches(cfg, train=train)
+        if train:
+            return gen()
+        return synthetic_batches(cfg, train=False)
+
+    tf = _tf()
+    from .augment import rand_augment, random_erasing
+
+    files, labels, _ = _list_imagefolder(
+        cfg.data_dir, "train" if train else "validation")
+    ds = tf.data.Dataset.from_tensor_slices((files, labels))
+    if train:
+        ds = ds.shuffle(min(len(files), cfg.shuffle_buffer),
+                        seed=cfg.seed, reshuffle_each_iteration=True)
+        ds = ds.repeat()
+
+    mean = tf.constant(cfg.mean, tf.float32) * 255.0
+    std = tf.constant(cfg.std, tf.float32) * 255.0
+    size = cfg.img_size
+
+    def load_train(path, label):
+        img = tf.io.decode_jpeg(tf.io.read_file(path), channels=3)
+        # RandomResizedCrop
+        shape = tf.shape(img)
+        area = tf.cast(shape[0] * shape[1], tf.float32)
+        target = tf.random.uniform([], cfg.scale[0], cfg.scale[1]) * area
+        log_ratio = (math.log(3 / 4), math.log(4 / 3))
+        ar = tf.exp(tf.random.uniform([], *log_ratio))
+        ch = tf.cast(tf.round(tf.sqrt(target / ar)), tf.int32)
+        cw = tf.cast(tf.round(tf.sqrt(target * ar)), tf.int32)
+        ch = tf.minimum(ch, shape[0])
+        cw = tf.minimum(cw, shape[1])
+        top = tf.random.uniform([], 0, tf.maximum(shape[0] - ch, 1), tf.int32)
+        left = tf.random.uniform([], 0, tf.maximum(shape[1] - cw, 1), tf.int32)
+        img = img[top:top + ch, left:left + cw]
+        # 'random' train interpolation: bicubic or bilinear per-sample
+        method = tf.random.uniform([], 0, 2, tf.int32)
+        img = tf.cond(
+            method == 0,
+            lambda: tf.image.resize(img, (size, size), method="bicubic"),
+            lambda: tf.image.resize(img, (size, size), method="bilinear"))
+        img = tf.saturate_cast(img, tf.uint8)
+        img = tf.cond(tf.random.uniform([]) < cfg.hflip,
+                      lambda: tf.image.flip_left_right(img), lambda: img)
+        if cfg.aa:
+            n, m, s = _parse_rand_augment(cfg.aa)
+            img = rand_augment(img, n, m, s)
+        img = (tf.cast(img, tf.float32) - mean) / std
+        if cfg.reprob > 0:
+            img = random_erasing(img, cfg.reprob)
+        img.set_shape((size, size, 3))
+        return img, tf.cast(label, tf.int32)
+
+    def load_eval(path, label):
+        img = tf.io.decode_jpeg(tf.io.read_file(path), channels=3)
+        shape = tf.shape(img)
+        scale_size = int(math.floor(size / cfg.crop_pct))
+        short = tf.minimum(shape[0], shape[1])
+        ratio = tf.cast(scale_size, tf.float32) / tf.cast(short, tf.float32)
+        nh = tf.cast(tf.round(tf.cast(shape[0], tf.float32) * ratio), tf.int32)
+        nw = tf.cast(tf.round(tf.cast(shape[1], tf.float32) * ratio), tf.int32)
+        img = tf.image.resize(img, (nh, nw), method="bicubic")
+        top = (nh - size) // 2
+        left = (nw - size) // 2
+        img = img[top:top + size, left:left + size]
+        img = (img - mean) / std
+        img.set_shape((size, size, 3))
+        return img, tf.cast(label, tf.int32)
+
+    ds = ds.map(load_train if train else load_eval,
+                num_parallel_calls=tf.data.AUTOTUNE)
+    ds = ds.batch(cfg.batch_size, drop_remainder=train)
+    ds = ds.prefetch(tf.data.AUTOTUNE)
+
+    def to_numpy():
+        for img, lab in ds.as_numpy_iterator():
+            yield {"image": img, "label": lab}
+
+    return to_numpy()
+
+
+def mixup_cutmix(batch, rng_key, *, mixup_alpha: float = 0.8,
+                 cutmix_alpha: float = 1.0, prob: float = 1.0,
+                 switch_prob: float = 0.5, num_classes: int = 1000,
+                 label_smoothing: float = 0.1):
+    """Device-side mixup/cutmix producing soft labels (timm Mixup analog,
+    train.py:604-613).  Pure function for use inside the jitted step."""
+    import jax
+    import jax.numpy as jnp
+
+    x, y = batch["image"], batch["label"]
+    B = x.shape[0]
+    k1, k2, k3, k4 = jax.random.split(rng_key, 4)
+    off = label_smoothing / num_classes
+    on = 1.0 - label_smoothing + off
+    y1 = jax.nn.one_hot(y, num_classes) * (on - off) + off
+    perm = jnp.flip(jnp.arange(B))  # timm 'batch' mode pairs with flipped batch
+    use_mix = jax.random.uniform(k1) < prob
+    use_cutmix = jax.random.uniform(k2) < switch_prob
+
+    lam_mix = jax.random.beta(k3, mixup_alpha, mixup_alpha)
+    lam_cut = jax.random.beta(k4, cutmix_alpha, cutmix_alpha)
+
+    H, W = x.shape[1], x.shape[2]
+    rh = jnp.sqrt(1.0 - lam_cut)
+    ch, cw = jnp.int32(H * rh), jnp.int32(W * rh)
+    cy = jax.random.randint(k3, (), 0, H)
+    cx = jax.random.randint(k4, (), 0, W)
+    y0c = jnp.clip(cy - ch // 2, 0, H)
+    x0c = jnp.clip(cx - cw // 2, 0, W)
+    y1c = jnp.clip(cy + ch // 2, 0, H)
+    x1c = jnp.clip(cx + cw // 2, 0, W)
+    rows = jnp.arange(H)[None, :, None, None]
+    cols = jnp.arange(W)[None, None, :, None]
+    box = ((rows >= y0c) & (rows < y1c) & (cols >= x0c) & (cols < x1c))
+    lam_cut_adj = 1.0 - ((y1c - y0c) * (x1c - x0c)) / (H * W)
+
+    x_mix = lam_mix * x + (1 - lam_mix) * x[perm]
+    x_cut = jnp.where(box, x[perm], x)
+    lam = jnp.where(use_cutmix, lam_cut_adj, lam_mix)
+    x_out = jnp.where(use_cutmix, x_cut, x_mix)
+    y_out = lam * y1 + (1 - lam) * y1[perm]
+    x_final = jnp.where(use_mix, x_out, x)
+    y_final = jnp.where(use_mix, y_out, y1)
+    return {"image": x_final, "label": batch["label"], "soft_label": y_final}
