@@ -1,0 +1,300 @@
+"""Shared train/eval runner behind the CLIs.
+
+Maps the reference harness (reference: train.py:444-858 `main`,
+train_one_epoch :860, validate :1012, eval.py, cga.py) onto the jitted
+TPU step.  Host-side responsibilities: data iteration, epoch bookkeeping,
+checkpointing, CSV summary, logging.  Everything per-step runs on device.
+"""
+
+from __future__ import annotations
+
+import csv
+import dataclasses
+import logging
+import os
+import time
+from typing import Any, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from ..data import DataConfig, make_dataset, mixup_cutmix
+from ..models import create_model
+from ..parallel import batch_shardings, make_mesh, shard_params
+from ..train import (
+    TrainState,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+from ..train.checkpoint import make_manager, restore_latest, save_epoch
+from ..train.schedule import constant_lr, cosine_with_warmup_cooldown
+from .common import experiment_dir, policy_from_namespace
+
+_logger = logging.getLogger("ofq_tpu")
+
+
+def select_loss_kind(args) -> str:
+    """Reference loss selection (train.py:744-766)."""
+    if args.use_kd:
+        return {0: "kd_soft", 1: "kd_soft_hard", 2: "kd_qk",
+                3: "kd_qkv"}[args.kd_hard_and_soft]
+    return "ce"
+
+
+def build_model(args, policy, *, teacher: bool = False):
+    name = args.teacher if teacher else args.model
+    mtype = args.teacher_type if teacher else args.model_type
+    qqkkvv = args.kd_hard_and_soft in (2, 3)
+    over = dict(num_classes=args.num_classes, qqkkvv=qqkkvv)
+    if mtype == "swin":
+        over["drop_path_rate"] = args.drop_path
+    elif args.drop_path:
+        over["drop_path_rate"] = args.drop_path
+    if args.img_size != 224:
+        over["img_size"] = args.img_size
+    from ..quant.policy import QuantPolicy
+
+    pol = policy if not teacher else QuantPolicy()
+    return create_model(name, policy=pol, **over)
+
+
+class Runner:
+    def __init__(self, args, *, cga_mode: bool = False):
+        self.args = args
+        self.cga_mode = cga_mode
+        self.policy = policy_from_namespace(args)
+        self.model = build_model(args, self.policy)
+        self.loss_kind = select_loss_kind(args)
+        self.teacher = (build_model(args, self.policy, teacher=True)
+                        if self.loss_kind != "ce" else None)
+        self.mesh = make_mesh(model_parallel=args.mesh_model_parallel)
+        self.out_dir = experiment_dir(args)
+
+        data_dir = args.data_dir
+        if data_dir in ("synthetic", "", None):
+            data_dir = None
+        self.data_cfg = DataConfig(
+            data_dir=data_dir, img_size=args.img_size,
+            batch_size=args.batch_size, num_classes=args.num_classes,
+            crop_pct=args.crop_pct, aa=args.aa or None, reprob=args.reprob,
+            seed=args.seed,
+            synthetic_length=args.batch_size * (args.steps_per_epoch or 4),
+        )
+
+    # ------------------------------------------------------------ setup
+    def calibrate_init(self, batch):
+        """Initialize params with data-dependent LSQ calibration — the
+        explicit replacement for setup_alpha (train.py:997-1010): one
+        eval-mode forward on a real batch materializes every scale."""
+        x = jnp.asarray(batch["image"])
+        init = jax.jit(
+            lambda key, xx: self.model.init({"params": key}, xx, train=False))
+        return init(jax.random.key(self.args.seed), x)
+
+    def load_pretrained(self, params):
+        args = self.args
+        path = args.initial_checkpoint or (
+            args.teacher_checkpoint if False else "")
+        if not path:
+            return params
+        from ..convert import (
+            convert_deit, convert_swin, load_torch_state_dict,
+            merge_pretrained, split_qkv_for_qkr)
+
+        _logger.info("loading initial checkpoint %s", path)
+        if path.endswith((".pth", ".pth.tar", ".pt", ".bin")):
+            sd = load_torch_state_dict(path)
+            if args.model_type == "swin":
+                loaded = convert_swin(sd, img_size=args.img_size)
+            else:
+                depth = self.model.cfg.depth
+                loaded = convert_deit(sd, depth=depth, img_size=args.img_size)
+                if self.policy.qk_reparam:
+                    loaded = split_qkv_for_qkr(loaded, depth)
+        else:  # our own orbax/npz export
+            import pickle
+
+            with open(path, "rb") as f:
+                loaded = pickle.load(f)
+        new = merge_pretrained(params["params"], loaded)
+        return {**params, "params": jax.tree.map(jnp.asarray, new)}
+
+    def build_optimizer(self, steps_per_epoch: int):
+        args = self.args
+        if self.cga_mode:
+            # cga.py:760 jumps past the cosine phase: LR pinned at min_lr.
+            lr_epoch = constant_lr(args.min_lr)
+        else:
+            lr_epoch = cosine_with_warmup_cooldown(
+                args.lr, epochs=args.epochs,
+                warmup_epochs=args.warmup_epochs,
+                warmup_lr=args.warmup_lr, min_lr=args.min_lr)
+        lr_fn = lambda count: lr_epoch(count // steps_per_epoch)
+        return make_optimizer(
+            lr_fn, weight_decay=args.weight_decay,
+            clip_grad=args.clip_grad, clip_mode=args.clip_mode), lr_epoch
+
+    # ------------------------------------------------------------- fit
+    def fit(self) -> dict:
+        args = self.args
+        os.makedirs(self.out_dir, exist_ok=True)
+        with open(os.path.join(self.out_dir, "args.yaml"), "w") as f:
+            yaml.safe_dump(vars(args), f)
+
+        train_it = make_dataset(self.data_cfg, train=True)
+        first = next(train_it)
+        steps_per_epoch = args.steps_per_epoch or max(
+            1281167 // (args.batch_size), 1)
+
+        params = self.calibrate_init(first)
+        params = self.load_pretrained(params)
+        tx, lr_epoch = self.build_optimizer(steps_per_epoch)
+
+        tparams = None
+        if self.teacher is not None:
+            tinit = jax.jit(lambda key, xx: self.teacher.init(
+                {"params": key}, xx, train=False))
+            tparams = tinit(jax.random.key(0),
+                            jnp.asarray(first["image"]))["params"]
+            if args.teacher_checkpoint:
+                from ..convert import (
+                    convert_deit, convert_swin, load_torch_state_dict,
+                    merge_pretrained)
+
+                sd = load_torch_state_dict(args.teacher_checkpoint)
+                conv = (convert_swin if args.teacher_type == "swin"
+                        else convert_deit)
+                tparams = jax.tree.map(
+                    jnp.asarray, merge_pretrained(tparams, conv(sd)))
+
+        with jax.set_mesh(self.mesh):
+            params = {"params": shard_params(params["params"], self.mesh)}
+            state = jax.jit(lambda p: TrainState.create(
+                p, tx, ema=args.model_ema))(params)
+
+            cga_cfg = None
+            if self.cga_mode:
+                cga_cfg = dict(bits=args.wq_bitw,
+                               boundary_range=args.boundary_range,
+                               qk_reparam=args.qk_reparam,
+                               model_type=args.model_type)
+            step = jax.jit(make_train_step(
+                self.model, tx, teacher=self.teacher,
+                loss_kind=self.loss_kind,
+                label_smoothing=args.smoothing,
+                ema_decay=args.model_ema_decay if args.model_ema else None,
+                cga=cga_cfg), donate_argnums=(0,))
+            eval_step = jax.jit(make_eval_step(self.model))
+
+            mgr = make_manager(self.out_dir, max_to_keep=args.checkpoint_hist,
+                               metric_name=args.eval_metric)
+            restored, start_epoch = restore_latest(mgr, jax.eval_shape(
+                lambda: state))
+            if restored is not None:
+                _logger.info("auto-resumed from epoch %d", start_epoch)
+                state = restored
+            if self.cga_mode:
+                # reference cga.py:760,835: run `freeze_for_n_epochs` more
+                num_epochs = start_epoch + args.freeze_for_n_epochs
+            else:
+                num_epochs = args.epochs + args.cooldown_epochs
+
+            bs = batch_shardings(self.mesh)
+            key = jax.random.key(args.seed)
+            summary_path = os.path.join(self.out_dir, "summary.csv")
+            best = {"top1": -1.0, "epoch": -1}
+            total_steps = 0
+            batch = first
+            mixup_on = (args.mixup > 0 or args.cutmix > 0)
+
+            for epoch in range(start_epoch, num_epochs):
+                t0 = time.time()
+                losses = []
+                for it in range(steps_per_epoch):
+                    dev_batch = {
+                        "image": jax.device_put(
+                            jnp.asarray(batch["image"]), bs["image"]),
+                        "label": jax.device_put(
+                            jnp.asarray(batch["label"]), bs["label"]),
+                    }
+                    key, sk, mk = jax.random.split(key, 3)
+                    if mixup_on and self.loss_kind == "ce":
+                        dev_batch = mixup_cutmix(
+                            dev_batch, mk,
+                            mixup_alpha=args.mixup, cutmix_alpha=args.cutmix,
+                            prob=args.mixup_prob,
+                            switch_prob=args.mixup_switch_prob,
+                            num_classes=args.num_classes,
+                            label_smoothing=args.smoothing)
+                        dev_batch["label"] = dev_batch.pop("soft_label")
+                    state, metrics = step(state, dev_batch, sk, tparams)
+                    total_steps += 1
+                    if it % args.log_interval == 0:
+                        loss = float(metrics["loss"])
+                        losses.append(loss)
+                        _logger.info(
+                            "epoch %d step %d/%d loss %.4f lr %.3e",
+                            epoch, it, steps_per_epoch, loss,
+                            float(lr_epoch(epoch)))
+                    if args.max_steps and total_steps >= args.max_steps:
+                        break
+                    batch = next(train_it)
+
+                eval_metrics = self.evaluate(eval_step, state.params["params"])
+                dt = time.time() - t0
+                _logger.info(
+                    "epoch %d done in %.1fs: top1 %.3f top5 %.3f",
+                    epoch, dt, eval_metrics["top1"], eval_metrics["top5"])
+                save_epoch(mgr, epoch, state, eval_metrics)
+                write_header = not os.path.exists(summary_path)
+                with open(summary_path, "a", newline="") as f:
+                    w = csv.writer(f)
+                    if write_header:
+                        w.writerow(["epoch", "train_loss", "top1", "top5",
+                                    "lr", "seconds"])
+                    w.writerow([epoch, np.mean(losses) if losses else "",
+                                eval_metrics["top1"], eval_metrics["top5"],
+                                float(lr_epoch(epoch)), round(dt, 1)])
+                if eval_metrics["top1"] > best["top1"]:
+                    best = {"top1": eval_metrics["top1"], "epoch": epoch}
+                if args.max_steps and total_steps >= args.max_steps:
+                    break
+            _logger.info("best top1 %.3f at epoch %d", best["top1"],
+                         best["epoch"])
+            return best
+
+    # ------------------------------------------------------------ eval
+    def evaluate(self, eval_step, params) -> dict:
+        c1 = c5 = n = 0
+        loss_sum = 0.0
+        for batch in make_dataset(self.data_cfg, train=False):
+            out = eval_step(params, {
+                "image": jnp.asarray(batch["image"]),
+                "label": jnp.asarray(batch["label"]),
+            })
+            c1 += int(out["correct1"])
+            c5 += int(out["correct5"])
+            n += int(out["count"])
+            loss_sum += float(out["loss_sum"])
+        return {"top1": 100.0 * c1 / max(n, 1),
+                "top5": 100.0 * c5 / max(n, 1),
+                "loss": loss_sum / max(n, 1)}
+
+    def evaluate_only(self) -> dict:
+        """eval.py analog: build, load checkpoint, validate."""
+        args = self.args
+        eval_it = make_dataset(self.data_cfg, train=False)
+        first = next(iter(make_dataset(self.data_cfg, train=False)))
+        params = self.calibrate_init(first)
+        if args.resume:
+            args.initial_checkpoint = args.resume
+        params = self.load_pretrained(params)
+        with jax.set_mesh(self.mesh):
+            eval_step = jax.jit(make_eval_step(self.model))
+            metrics = self.evaluate(eval_step, params["params"])
+        _logger.info("eval: top1 %.3f top5 %.3f loss %.4f",
+                     metrics["top1"], metrics["top5"], metrics["loss"])
+        return metrics

@@ -1,0 +1,223 @@
+"""Convert reference (torch) checkpoints to ofq_tpu param pytrees.
+
+Covers three checkpoint flavors:
+  * FP timm DeiT checkpoints (deit_*_distilled_patch16_224) — used for
+    `--pretrained_initialized` QAT warm starts,
+  * OFQ released QAT checkpoints (train.py CheckpointSaver *.pth.tar with
+    quantizer state: LSQ `s`, LearnableBias, StatsQ clip_val) — used for
+    eval parity,
+  * torchvision Swin-T checkpoints.
+
+Name mapping is rule-based (regex -> path in our Flax tree) with layout
+fixups: torch Linear (out, in) -> Flax (in, out) transpose, torch Conv OIHW
+-> Flax HWIO, fused qkv -> split q/k/v for QKR models
+(reference: attention.py:130-138).
+
+The loader accepts either a ready dict of numpy arrays or a path readable
+by `torch.load` (torch CPU is available in this image; no network needed).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    for key in ("state_dict", "model", "state_dict_ema"):
+        if isinstance(obj, dict) and key in obj:
+            obj = obj[key]
+            break
+    out = {}
+    for k, v in obj.items():
+        k = k.removeprefix("module.")
+        if hasattr(v, "numpy"):
+            out[k] = v.detach().cpu().numpy()
+    return out
+
+
+def _set(tree: dict, path: list[str], value: np.ndarray):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def _linear(sd, prefix, dst, tree, bias=True):
+    _set(tree, dst + ["kernel"], sd[prefix + ".weight"].T)
+    if bias and prefix + ".bias" in sd:
+        _set(tree, dst + ["bias"], sd[prefix + ".bias"])
+
+
+def _norm(sd, prefix, dst, tree):
+    _set(tree, dst + ["scale"], sd[prefix + ".weight"])
+    _set(tree, dst + ["bias"], sd[prefix + ".bias"])
+
+
+def _maybe(sd, key, dst, tree, transform=None):
+    if key in sd:
+        v = sd[key]
+        if transform is not None:
+            v = transform(v)
+        _set(tree, dst, v)
+        return True
+    return False
+
+
+def _qlinear(sd, prefix, dst, tree):
+    """Reference QLinear / LSQ_w_and_act_QLinear / plain Linear -> ours."""
+    _linear(sd, prefix, dst, tree)
+    _maybe(sd, f"{prefix}.move_b4.bias", dst + ["move_b4", "bias"], tree)
+    _maybe(sd, f"{prefix}.move_aft.bias", dst + ["move_aft", "bias"], tree)
+    _maybe(sd, f"{prefix}.input_quant_fn.s", dst + ["input_quant", "s"], tree)
+    _maybe(sd, f"{prefix}.lsqw_fn.s", dst + ["weight_quant", "s"], tree)
+
+
+def _attention(sd, prefix, dst, tree, img_tokens: int | None = None):
+    """QAttention / float attention / QKR, detected from present keys."""
+    qkr = f"{prefix}.q.weight" in sd
+    if qkr:
+        _set(tree, dst + ["q_kernel"], sd[f"{prefix}.q.weight"].T)
+        _set(tree, dst + ["k_kernel"], sd[f"{prefix}.k.weight"].T)
+        _set(tree, dst + ["v_kernel"], sd[f"{prefix}.v.weight"].T)
+        _set(tree, dst + ["v_bias"], sd[f"{prefix}.v.bias"])
+        _maybe(sd, f"{prefix}.quant_x_4_qkv.move_b4.bias",
+               dst + ["quant_x_move_b4", "bias"], tree)
+        _maybe(sd, f"{prefix}.quant_x_4_qkv.move_aft.bias",
+               dst + ["quant_x_move_aft", "bias"], tree)
+        _maybe(sd, f"{prefix}.quant_x_4_qkv.input_quant_fn.s",
+               dst + ["quant_x", "s"], tree)
+        _maybe(sd, f"{prefix}.move_qkx_b4.bias", dst + ["move_qkx_b4", "bias"], tree)
+        _maybe(sd, f"{prefix}.move_qkx_aft.bias", dst + ["move_qkx_aft", "bias"], tree)
+        _maybe(sd, f"{prefix}.quan_a_qkx_fn.s", dst + ["quan_qkx", "s"], tree)
+        _maybe(sd, f"{prefix}.move_v_b4.bias", dst + ["move_v_b4", "bias"], tree)
+        _maybe(sd, f"{prefix}.move_v_aft.bias", dst + ["move_v_aft", "bias"], tree)
+        _maybe(sd, f"{prefix}.quan_a_v_fn.s", dst + ["quan_v", "s"], tree)
+        _maybe(sd, f"{prefix}.quan_a_softmax_fn.s", dst + ["quan_softmax", "s"], tree)
+    else:
+        _qlinear(sd, f"{prefix}.qkv", dst + ["qkv"], tree)
+        _maybe(sd, f"{prefix}.move_qkv_b4.bias", dst + ["move_qkv_b4", "bias"], tree)
+        for name, ours in (("quan_a_q_fn", "quan_q"), ("quan_a_k_fn", "quan_k"),
+                           ("quan_a_v_fn", "quan_v"),
+                           ("quan_a_softmax_fn", "quan_softmax")):
+            _maybe(sd, f"{prefix}.{name}.s", dst + [ours, "s"], tree)
+        for mv in ("move_q_aft", "move_k_aft", "move_v_aft"):
+            _maybe(sd, f"{prefix}.{mv}.bias", dst + [mv, "bias"], tree)
+    _qlinear(sd, f"{prefix}.proj", dst + ["proj"], tree)
+
+
+def _patch_embed(sd, prefix, dst, tree, img_size: int):
+    """Conv patchify: torch OIHW -> HWIO; LSQ_QConv2d quantizer state."""
+    w = sd[f"{prefix}.weight"]
+    _set(tree, dst + ["kernel"], w.transpose(2, 3, 1, 0))
+    _maybe(sd, f"{prefix}.bias", dst + ["bias"], tree)
+    _maybe(sd, f"{prefix}.lsqw_fn.s", dst + ["weight_quant", "s"], tree)
+    _maybe(sd, f"{prefix}.input_quant_fn.s", dst + ["input_quant", "s"], tree)
+    for mv in ("move_b4", "move_aft"):
+        _maybe(sd, f"{prefix}.{mv}.bias", dst + [mv, "bias"], tree,
+               transform=lambda v: v.reshape(img_size, img_size))
+
+
+def convert_deit(sd: Mapping[str, np.ndarray], *, depth: int = 12,
+                 img_size: int = 224) -> Dict[str, Any]:
+    """Reference DeiT checkpoint (FP or OFQ-quantized) -> Flax params dict."""
+    tree: Dict[str, Any] = {}
+    _maybe(sd, "cls_token", ["cls_token"], tree)
+    _maybe(sd, "dist_token", ["dist_token"], tree)
+    _maybe(sd, "pos_embed", ["pos_embed"], tree)
+    _patch_embed(sd, "patch_embed.proj", ["patch_embed"], tree, img_size)
+    for i in range(depth):
+        src = f"blocks.{i}"
+        dst = [f"blocks_{i}"]
+        _norm(sd, f"{src}.norm1", dst + ["norm1"], tree)
+        _norm(sd, f"{src}.norm2", dst + ["norm2"], tree)
+        _attention(sd, f"{src}.attn", dst + ["attn"], tree)
+        _qlinear(sd, f"{src}.mlp.fc1", dst + ["mlp", "fc1"], tree)
+        _qlinear(sd, f"{src}.mlp.fc2", dst + ["mlp", "fc2"], tree)
+    _norm(sd, "norm", ["norm"], tree)
+    for head in ("head", "head_dist"):
+        if f"{head}.weight" in sd:
+            _qlinear(sd, head, [head], tree)
+    return tree
+
+
+def convert_swin(sd: Mapping[str, np.ndarray], *,
+                 depths=(2, 2, 6, 2), img_size: int = 224) -> Dict[str, Any]:
+    """torchvision/OFQ Swin checkpoint -> Flax params dict."""
+    tree: Dict[str, Any] = {}
+    _patch_embed(sd, "features.0.0", ["patch_embed"], tree, img_size)
+    _norm(sd, "features.0.2", ["patch_norm"], tree)
+    feat_idx = 1
+    for stage, depth in enumerate(depths):
+        for blk in range(depth):
+            src = f"features.{feat_idx}.{blk}"
+            dst = [f"features_{feat_idx}_{blk}"]
+            _norm(sd, f"{src}.norm1", dst + ["norm1"], tree)
+            _norm(sd, f"{src}.norm2", dst + ["norm2"], tree)
+            _attention(sd, f"{src}.attn", dst + ["attn"], tree)
+            _maybe(sd, f"{src}.attn.relative_position_bias_table",
+                   dst + ["attn", "relative_position_bias_table"], tree)
+            # torchvision MLP: mlp.0 / mlp.3 are the two linears; the
+            # quantized QMLP_swin renames them fc1/fc2.
+            if f"{src}.mlp.fc1.weight" in sd:
+                _qlinear(sd, f"{src}.mlp.fc1", dst + ["mlp", "fc1"], tree)
+                _qlinear(sd, f"{src}.mlp.fc2", dst + ["mlp", "fc2"], tree)
+            else:
+                _linear(sd, f"{src}.mlp.0", dst + ["mlp", "fc1"], tree)
+                _linear(sd, f"{src}.mlp.3", dst + ["mlp", "fc2"], tree)
+        feat_idx += 1
+        if stage < len(depths) - 1:
+            src = f"features.{feat_idx}"
+            dst = [f"features_{feat_idx}"]
+            _norm(sd, f"{src}.norm", dst + ["norm"], tree)
+            _qlinear(sd, f"{src}.reduction", dst + ["reduction"], tree)
+            feat_idx += 1
+    _norm(sd, "norm", ["norm"], tree)
+    _qlinear(sd, "head", ["head"], tree)
+    return tree
+
+
+def split_qkv_for_qkr(params: Dict[str, Any], depth: int) -> Dict[str, Any]:
+    """FP warm start for a QKR model: split each fused qkv kernel into
+    q/k/v thirds (reference attention.py:130-138).  Operates on a converted
+    *float* DeiT tree in place."""
+    for i in range(depth):
+        attn = params[f"blocks_{i}"]["attn"]
+        if "qkv" in attn and "q_kernel" not in attn:
+            k = attn.pop("qkv")
+            kern = k["kernel"]  # (C, 3C)
+            C = kern.shape[0]
+            attn["q_kernel"] = kern[:, :C]
+            attn["k_kernel"] = kern[:, C:2 * C]
+            attn["v_kernel"] = kern[:, 2 * C:]
+            if "bias" in k:
+                attn["v_bias"] = k["bias"][2 * C:]
+    return params
+
+
+def merge_pretrained(init_params: Dict[str, Any],
+                     loaded: Dict[str, Any]) -> Dict[str, Any]:
+    """Overlay loaded leaves onto an initialized tree (strict=False analog,
+    train.py:515-516): leaves present in both are replaced when shapes
+    match; quantizer params missing from an FP checkpoint keep their
+    calibration init."""
+    import jax
+
+    def overlay(dst, src):
+        out = dict(dst)
+        for k, v in src.items():
+            if k not in dst:
+                continue
+            if isinstance(v, dict) and isinstance(dst[k], dict):
+                out[k] = overlay(dst[k], v)
+            elif not isinstance(v, dict):
+                if tuple(np.shape(dst[k])) == tuple(np.shape(v)):
+                    out[k] = np.asarray(v, dtype=np.float32)
+        return out
+
+    return overlay(init_params, loaded)

@@ -1,0 +1,57 @@
+"""Orbax checkpointing with CheckpointSaver-compatible retention.
+
+Reference semantics (timm CheckpointSaver, train.py:791-808 + auto-resume
+at :698-706):
+  * rank-0 writes `last` every epoch plus a retained set of the best-k
+    checkpoints by the eval metric (`--checkpoint-hist`, default 10),
+  * `args.yaml` dumped alongside,
+  * auto-resume from `<output>/<experiment>/last` when present,
+  * `--initial-checkpoint` loads weights only (strict=False).
+
+Implemented with orbax CheckpointManager (async-capable, multi-host safe).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import orbax.checkpoint as ocp
+
+
+def make_manager(directory: str, *, max_to_keep: int = 10,
+                 metric_name: str = "top1") -> ocp.CheckpointManager:
+    options = ocp.CheckpointManagerOptions(
+        max_to_keep=max_to_keep,
+        best_fn=lambda m: m.get(metric_name, float("-inf")),
+        best_mode="max",
+        create=True,
+        enable_async_checkpointing=False,
+    )
+    return ocp.CheckpointManager(os.path.abspath(directory), options=options)
+
+
+def save_epoch(mgr: ocp.CheckpointManager, epoch: int, state,
+               metrics: Optional[dict] = None) -> None:
+    mgr.save(
+        epoch,
+        args=ocp.args.StandardSave(state),
+        metrics={k: float(v) for k, v in (metrics or {}).items()},
+    )
+    mgr.wait_until_finished()
+
+
+def restore_latest(mgr: ocp.CheckpointManager, abstract_state) -> tuple[Any, int]:
+    """Restore the newest checkpoint; returns (state, next_epoch)."""
+    step = mgr.latest_step()
+    if step is None:
+        return None, 0
+    state = mgr.restore(step, args=ocp.args.StandardRestore(abstract_state))
+    return state, step + 1
+
+
+def restore_best(mgr: ocp.CheckpointManager, abstract_state):
+    step = mgr.best_step()
+    if step is None:
+        return None
+    return mgr.restore(step, args=ocp.args.StandardRestore(abstract_state))
