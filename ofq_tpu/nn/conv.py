@@ -71,15 +71,28 @@ class QPatchEmbedConv(nn.Module):
 
 
 class PatchEmbedConv(nn.Module):
-    """Float patchify conv (timm PatchEmbed equivalent)."""
+    """Float patchify conv (timm PatchEmbed equivalent).
+
+    Owns its kernel/bias directly so the param paths match the quantized
+    QPatchEmbedConv (checkpoint conversion sees one layout).
+    """
 
     features: int
     patch_size: Tuple[int, int] = (16, 16)
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         kh, kw = self.patch_size
-        return nn.Conv(
-            self.features, kernel_size=(kh, kw), strides=(kh, kw),
-            padding="VALID", name="proj_conv",
-        )(x)
+        c_in = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init, (kh, kw, c_in, self.features),
+            jnp.float32)
+        y = jax.lax.conv_general_dilated(
+            x, kernel.astype(x.dtype),
+            window_strides=(kh, kw), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        b = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+        return y + b.astype(y.dtype)
