@@ -52,6 +52,10 @@ class DeiTConfig:
     qqkkvv: bool = False
     ln_eps: float = 1e-6
     remat: bool = False
+    # 'bfloat16' runs the token stream (matmuls, einsums, residuals) in
+    # bf16 with fp32 params and fp32 quantizer math — the TPU-native
+    # speed path; None keeps the reference's fp32 everywhere.
+    compute_dtype: Optional[str] = None
 
 
 DEIT_TINY = DeiTConfig(embed_dim=192, num_heads=3)
@@ -98,7 +102,8 @@ class Block(nn.Module):
                     aq_learnable=pol.act.learnable,
                     wq_learnable=pol.weight.learnable,
                     attn_drop=cfg.attn_drop_rate, proj_drop=cfg.drop_rate,
-                    qqkkvv=cfg.qqkkvv, name="attn")
+                    qqkkvv=cfg.qqkkvv, compute_dtype=cfg.compute_dtype,
+                    name="attn")
             else:
                 attn = QAttention(
                     num_heads=cfg.num_heads,
@@ -107,7 +112,7 @@ class Block(nn.Module):
                     wq_learnable=pol.weight.learnable,
                     attn_drop=cfg.attn_drop_rate, proj_drop=cfg.drop_rate,
                     qqkkvv=cfg.qqkkvv, lsq_weights=pol.lsq_weights,
-                    name="attn")
+                    compute_dtype=cfg.compute_dtype, name="attn")
         else:
             attn = Attention(
                 num_heads=cfg.num_heads, qkv_bias=True,
@@ -128,7 +133,8 @@ class Block(nn.Module):
                 aq_learnable=pol.act.learnable,
                 wq_learnable=pol.weight.learnable,
                 act_layer=pol.act_layer, dropout_rate=cfg.drop_rate,
-                lsq_weights=pol.lsq_weights, name="mlp")
+                lsq_weights=pol.lsq_weights,
+                compute_dtype=cfg.compute_dtype, name="mlp")
         else:
             mlp = Mlp(hidden_features=hidden, out_features=C,
                       dropout_rate=cfg.drop_rate, name="mlp")
@@ -182,6 +188,8 @@ class VisionTransformer(nn.Module):
             (1, grid * grid + num_tokens, C))
         x = x + pos_embed.astype(x.dtype)
         x = nn.Dropout(cfg.drop_rate, deterministic=deterministic)(x)
+        if cfg.compute_dtype is not None:
+            x = x.astype(jnp.dtype(cfg.compute_dtype))
 
         # --- transformer blocks ---
         attn_infos = []
@@ -199,6 +207,7 @@ class VisionTransformer(nn.Module):
             features.append(x)
 
         x = nn.LayerNorm(epsilon=cfg.ln_eps, name="norm")(x)
+        x = x.astype(jnp.float32)
 
         # --- heads (pinned W8A8 when quantized) ---
         def head_module(path: str, name: str):

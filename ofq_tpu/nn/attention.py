@@ -180,7 +180,10 @@ class QAttentionQKR(nn.Module):
         v_kernel = self.param(
             "v_kernel", nn.initializers.lecun_normal(), (C, C), jnp.float32)
         v_bias = self.param("v_bias", nn.initializers.zeros, (C,), jnp.float32)
-        v_out = xq @ statsq_quantize(v_kernel, self.weight_bits) + v_bias
+        vq = statsq_quantize(v_kernel, self.weight_bits)
+        if self.compute_dtype is not None:
+            vq = vq.astype(self.compute_dtype)
+        v_out = xq @ vq + v_bias.astype(xq.dtype)
         v_out = LearnableBias(C, name="move_v_b4")(v_out)
         v_out = LsqAct(self.input_bits, channel_axis=-1,
                        learnable=self.aq_learnable, name="quan_v")(v_out)
@@ -200,6 +203,8 @@ class QAttentionQKR(nn.Module):
         w_qk = w_qk.reshape(H * C, C)
         w_qk = statsq_quantize(w_qk, self.weight_bits, reduce_axis=-1)
         w_qk = w_qk.reshape(H, C, C)
+        if self.compute_dtype is not None:
+            w_qk = w_qk.astype(self.compute_dtype)
 
         # qkx[b,h,i,n] = sum_j W_qk[h,i,j] x[b,n,j]   (attention.py:200)
         qkx = jnp.einsum("hij,bnj->bhin", w_qk, xq)  # (B, H, C, N)

@@ -55,8 +55,10 @@ def statsq_matmul(
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         wq = wq.astype(compute_dtype)
-    return jax.lax.dot_general(
+    y = jax.lax.dot_general(
         x, wq,
         dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    # fp32 accumulation, compute-dtype stream
+    return y.astype(compute_dtype) if compute_dtype is not None else y
