@@ -150,6 +150,12 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["xla", "pallas"])
     p.add_argument("--max-steps", dest="max_steps", type=int, default=None,
                    help="hard stop after N optimizer steps (smoke runs)")
+    p.add_argument("--track-oscillation", dest="track_oscillation",
+                   action="store_true", default=False,
+                   help="in-graph integer-domain oscillation telemetry")
+    p.add_argument("--oscillation-freeze-threshold",
+                   dest="oscillation_freeze_threshold", type=float,
+                   default=0.0)
     return p
 
 

@@ -172,8 +172,20 @@ class Runner:
 
         with jax.set_mesh(self.mesh):
             params = {"params": shard_params(params["params"], self.mesh)}
+            extra = None
+            osc_cfg = None
+            if getattr(args, "track_oscillation", False):
+                from ..train.oscillation_hook import init_oscillation_states
+
+                extra = {"oscillation": init_oscillation_states(
+                    params["params"], bits=args.wq_bitw,
+                    qk_reparam=args.qk_reparam, model_type=args.model_type)}
+                osc_cfg = dict(
+                    bits=args.wq_bitw,
+                    freeze_threshold=args.oscillation_freeze_threshold,
+                    qk_reparam=args.qk_reparam, model_type=args.model_type)
             state = jax.jit(lambda p: TrainState.create(
-                p, tx, ema=args.model_ema))(params)
+                p, tx, ema=args.model_ema, extra=extra))(params)
 
             cga_cfg = None
             if self.cga_mode:
@@ -186,7 +198,7 @@ class Runner:
                 loss_kind=self.loss_kind,
                 label_smoothing=args.smoothing,
                 ema_decay=args.model_ema_decay if args.model_ema else None,
-                cga=cga_cfg), donate_argnums=(0,))
+                cga=cga_cfg, oscillation=osc_cfg), donate_argnums=(0,))
             eval_step = jax.jit(make_eval_step(self.model))
 
             mgr = make_manager(self.out_dir, max_to_keep=args.checkpoint_hist,

@@ -31,6 +31,7 @@ def make_train_step(
     label_smoothing: float = 0.0,
     ema_decay: Optional[float] = None,
     cga: Optional[dict] = None,  # dict(bits, boundary_range, qk_reparam, model_type)
+    oscillation: Optional[dict] = None,  # dict(bits, momentum, freeze_threshold, ...)
 ) -> Callable:
     """Build the jitted train step closure.
 
@@ -94,11 +95,27 @@ def make_train_step(
             "loss": loss,
             "grad_norm": optax.global_norm(grads),
         }
+
+        new_extra = state.extra
+        if oscillation is not None and state.extra is not None:
+            from .oscillation_hook import update_oscillation_states
+
+            osc_states, osc_metrics = update_oscillation_states(
+                new_params, state.extra["oscillation"],
+                bits=oscillation["bits"],
+                momentum=oscillation.get("momentum", 0.01),
+                freeze_threshold=oscillation.get("freeze_threshold", 0.0),
+                qk_reparam=oscillation.get("qk_reparam", False),
+                model_type=oscillation.get("model_type", "deit"))
+            metrics.update(osc_metrics)
+            new_extra = {**state.extra, "oscillation": osc_states}
+
         return state.replace(
             params={**state.params, "params": new_params},
             opt_state=new_opt_state,
             step=state.step + 1,
             ema_params=new_ema,
+            extra=new_extra,
         ), metrics
 
     return train_step

@@ -1,0 +1,78 @@
+"""Per-kernel oscillation tracking inside the jitted train step.
+
+The reference's `TrackOscillation` (lsq.py:111-200) mutates module buffers
+per forward; here the integer-domain weight images of every StatsQ-
+quantized kernel are tracked as explicit state threaded through the step
+(TrainState.extra['oscillation']), updated on-device, and surfaced as
+scalar metrics — no host sync.
+
+x_int is the pre-offset mid-rise integer: round(clip(w/s) * n - 0.5),
+the exact integer image the StatsQ forward rounds (statsq.py:147).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..quant.oscillation import (
+    OscillationState,
+    init_oscillation_state,
+    track_oscillation,
+)
+from ..quant.statsq import _CLIP_HI_EPS, statsq_scale
+from .cga import is_cga_kernel
+
+
+def weight_int_image(w: jax.Array, bits: int) -> jax.Array:
+    s = statsq_scale(w)
+    clipped = jnp.clip(w / s, -1.0, 1.0 - _CLIP_HI_EPS)
+    n = float(2 ** (bits - 1))
+    return jnp.round(clipped * n - 0.5)
+
+
+def _tracked_paths(params, *, qk_reparam: bool, model_type: str):
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    out = []
+    for path, w in flat:
+        if is_cga_kernel(path, qk_reparam=qk_reparam, model_type=model_type):
+            out.append(("/".join(getattr(p, "key", "") for p in path), path, w))
+    return out
+
+
+def init_oscillation_states(params, *, bits: int, qk_reparam: bool = False,
+                            model_type: str = "deit") -> Dict[str, OscillationState]:
+    states = {}
+    for name, _, w in _tracked_paths(params, qk_reparam=qk_reparam,
+                                     model_type=model_type):
+        states[name] = init_oscillation_state(weight_int_image(w, bits))
+    return states
+
+
+def update_oscillation_states(
+    params, states: Dict[str, OscillationState], *, bits: int,
+    momentum: float = 0.01, freeze_threshold: float = 0.0,
+    qk_reparam: bool = False, model_type: str = "deit",
+) -> tuple[Dict[str, OscillationState], Dict[str, jax.Array]]:
+    """One tracking step over all tracked kernels; returns (new states,
+    aggregate metrics)."""
+    new_states = dict(states)
+    osc_sum = jnp.zeros(())
+    osc_count = 0
+    for name, _, w in _tracked_paths(params, qk_reparam=qk_reparam,
+                                     model_type=model_type):
+        if name not in states:
+            continue
+        x_int = weight_int_image(jax.lax.stop_gradient(w), bits)
+        _, ns = track_oscillation(
+            x_int, states[name], momentum=momentum,
+            freeze_threshold=freeze_threshold)
+        new_states[name] = ns
+        osc_sum = osc_sum + jnp.sum(ns.ema_oscillation)
+        osc_count += ns.ema_oscillation.size
+    metrics = {
+        "oscillation/ema_mean": osc_sum / max(osc_count, 1),
+    }
+    return new_states, metrics

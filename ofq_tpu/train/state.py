@@ -15,9 +15,11 @@ class TrainState:
     step: jax.Array
     epoch: jax.Array
     ema_params: Optional[Any] = None
+    # auxiliary in-graph state (e.g. {'oscillation': {path: OscillationState}})
+    extra: Optional[Any] = None
 
     @classmethod
-    def create(cls, params, tx, ema: bool = False):
+    def create(cls, params, tx, ema: bool = False, extra: Any = None):
         import jax.numpy as jnp
 
         return cls(
@@ -26,4 +28,5 @@ class TrainState:
             step=jnp.zeros((), jnp.int32),
             epoch=jnp.zeros((), jnp.int32),
             ema_params=jax.tree.map(lambda x: x, params["params"]) if ema else None,
+            extra=extra,
         )
