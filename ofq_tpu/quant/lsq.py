@@ -20,6 +20,7 @@ lsq.py:582-591 per shape.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Sequence
 
@@ -117,7 +118,7 @@ def init_scale(x: jax.Array, bit: int, all_positive: bool,
     return factor * m / math.sqrt(thd_pos)
 
 
-def lsq_quantize(
+def lsq_quantize_composed(
     x: jax.Array,
     s: jax.Array,
     bit: int,
@@ -125,7 +126,7 @@ def lsq_quantize(
     all_positive: bool = False,
     channel_axis: int | None = -2,
 ) -> jax.Array:
-    """LSQ fake-quantization with learned scale `s`.
+    """LSQ fake-quantization with learned scale `s` (autodiff composition).
 
     Matches `LsqQuantizer.forward` (lsq.py:571-602): the scale is clipped
     below at 1e-5 with identity grad, its gradient is scaled by
@@ -143,3 +144,59 @@ def lsq_quantize(
         y = jnp.clip(y, thd_neg, thd_pos)
         y = round_pass(y)
     return y * s_eff
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _lsq_fused(x, s, bit, all_positive, channel_axis):
+    return lsq_quantize_composed(
+        x, s, bit, all_positive=all_positive, channel_axis=channel_axis)
+
+
+def _lsq_fused_fwd(x, s, bit, all_positive, channel_axis):
+    y = lsq_quantize_composed(
+        x, s, bit, all_positive=all_positive, channel_axis=channel_axis)
+    return y, (x, s)
+
+
+def _lsq_fused_bwd(bit, all_positive, channel_axis, res, g):
+    """One fused pass over (x, g): dx = g·[in-range]; ds via the standard
+    LSQ gradient (round(u)−u inside, clamp bound outside), scale-grad
+    factor applied — exactly the cotangents of the composed form (the
+    residuals are just (x, s) instead of autodiff's intermediates)."""
+    x, s = res
+    thd_neg, thd_pos = thresholds(bit, all_positive)
+    gf = grad_scale_factor(x.shape, bit, all_positive, channel_axis)
+    s_b = _broadcast_scale(s, x.ndim, channel_axis)
+    s_eff = jnp.where(s_b > _S_EPS, s_b, _S_EPS)
+    u = x / s_eff
+    in_range = (u >= thd_neg) & (u <= thd_pos)
+    dx = jnp.where(in_range, g, 0.0)
+    ds_elem = jnp.where(in_range, jnp.round(u) - u,
+                        jnp.clip(u, thd_neg, thd_pos)) * g
+    if channel_axis is None:
+        ds = jnp.sum(ds_elem).reshape(s.shape) * gf
+    else:
+        axes = tuple(a for a in range(x.ndim) if a != channel_axis % x.ndim)
+        ds = jnp.sum(ds_elem, axis=axes).reshape(s.shape) * gf
+    return dx, ds.astype(s.dtype)
+
+
+_lsq_fused.defvjp(_lsq_fused_fwd, _lsq_fused_bwd)
+
+
+def lsq_quantize(
+    x: jax.Array,
+    s: jax.Array,
+    bit: int,
+    *,
+    all_positive: bool = False,
+    channel_axis: int | None = -2,
+) -> jax.Array:
+    """LSQ fake-quant; fused custom-VJP for bit > 1 (saves the autodiff
+    intermediates — the dominant HBM cost of QAT backward), composed
+    autodiff for the bit==1 sign path (whose torch gradient is zero
+    through sign, preserved by composition)."""
+    if bit == 1 and not all_positive:
+        return lsq_quantize_composed(
+            x, s, bit, all_positive=all_positive, channel_axis=channel_axis)
+    return _lsq_fused(x, s, bit, all_positive, channel_axis)

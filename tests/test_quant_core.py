@@ -269,3 +269,58 @@ class TestLSQ:
         got = init_scale(jnp.asarray(x), 2, True, None)
         want = 2 * np.mean(np.abs(x)) / np.sqrt(3)
         np.testing.assert_allclose(got, np.asarray([want]), rtol=1e-6)
+
+
+class TestLSQFusedVJP:
+    """The fused custom-VJP must produce bit-identical cotangents to the
+    composed autodiff form for every scale-axis convention."""
+
+    @pytest.mark.parametrize("axis,shape,ap", [
+        (-2, (3, 7, 5), False), (-2, (2, 3, 7, 5), False),
+        (-1, (3, 7, 5), False), (None, (4, 6), False),
+        (-2, (3, 7, 5), True),
+    ])
+    def test_grad_parity(self, axis, shape, ap):
+        from ofq_tpu.quant.lsq import lsq_quantize, lsq_quantize_composed
+
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.normal(size=shape) * 2, jnp.float32)
+        if ap:
+            x = jnp.abs(x)
+        if axis is None:
+            s = jnp.asarray([0.17], jnp.float32)
+        else:
+            s = jnp.asarray(
+                rng.uniform(0.05, 0.4, size=(shape[axis],)), jnp.float32)
+        cot = jnp.asarray(rng.normal(size=shape), jnp.float32)
+
+        def f_ref(x, s):
+            return jnp.sum(lsq_quantize_composed(
+                x, s, 2, all_positive=ap, channel_axis=axis) * cot)
+
+        def f_new(x, s):
+            return jnp.sum(lsq_quantize(
+                x, s, 2, all_positive=ap, channel_axis=axis) * cot)
+
+        np.testing.assert_allclose(
+            np.asarray(f_new(x, s)), np.asarray(f_ref(x, s)), rtol=1e-6)
+        gx_r, gs_r = jax.grad(f_ref, argnums=(0, 1))(x, s)
+        gx_n, gs_n = jax.grad(f_new, argnums=(0, 1))(x, s)
+        np.testing.assert_allclose(np.asarray(gx_n), np.asarray(gx_r),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gs_n), np.asarray(gs_r),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_grad_parity_below_eps_scale(self):
+        from ofq_tpu.quant.lsq import lsq_quantize, lsq_quantize_composed
+
+        x = jnp.asarray([[0.3, -0.9]], jnp.float32)
+        s = jnp.asarray([1e-7], jnp.float32)  # below the 1e-5 clip
+
+        def f(fn):
+            return jax.grad(
+                lambda s: jnp.sum(fn(x, s, 2, channel_axis=None)))(s)
+
+        np.testing.assert_allclose(
+            np.asarray(f(lsq_quantize)),
+            np.asarray(f(lsq_quantize_composed)), rtol=1e-5)
