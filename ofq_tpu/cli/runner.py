@@ -80,7 +80,7 @@ class Runner:
             data_dir=data_dir, img_size=args.img_size,
             batch_size=args.batch_size, num_classes=args.num_classes,
             crop_pct=args.crop_pct, aa=args.aa or None, reprob=args.reprob,
-            seed=args.seed,
+            seed=args.seed, num_aug_repeats=args.num_aug_repeats,
             synthetic_length=args.batch_size * (args.steps_per_epoch or 4),
         )
 
@@ -256,6 +256,13 @@ class Runner:
                     batch = next(train_it)
 
                 eval_metrics = self.evaluate(eval_step, state.params["params"])
+                if args.model_ema and state.ema_params is not None:
+                    # reference train.py:830-836: EMA weights are validated
+                    # too and their metric drives checkpoint retention.
+                    ema_metrics = self.evaluate(eval_step, state.ema_params)
+                    _logger.info("epoch %d EMA: top1 %.3f", epoch,
+                                 ema_metrics["top1"])
+                    eval_metrics = ema_metrics
                 dt = time.time() - t0
                 _logger.info(
                     "epoch %d done in %.1fs: top1 %.3f top5 %.3f",
@@ -272,6 +279,18 @@ class Runner:
                                 float(lr_epoch(epoch)), round(dt, 1)])
                 if eval_metrics["top1"] > best["top1"]:
                     best = {"top1": eval_metrics["top1"], "epoch": epoch}
+                if args.log_wandb:
+                    try:
+                        import wandb
+
+                        if wandb.run is None:
+                            wandb.init(project="ofq_tpu",
+                                       name=args.experiment or None,
+                                       config=vars(args))
+                        wandb.log({"epoch": epoch, **eval_metrics,
+                                   "lr": float(lr_epoch(epoch))})
+                    except ImportError:
+                        _logger.warning("--log-wandb set but wandb missing")
                 if args.max_steps and total_steps >= args.max_steps:
                     break
             _logger.info("best top1 %.3f at epoch %d", best["top1"],

@@ -200,6 +200,33 @@ def split_qkv_for_qkr(params: Dict[str, Any], depth: int) -> Dict[str, Any]:
     return params
 
 
+def resize_pos_embed(posemb: np.ndarray, new_len: int,
+                     num_tokens: int = 2) -> np.ndarray:
+    """Bicubic-resample a (1, N_old, C) position embedding grid to a new
+    token count (reference: deit_vision_transformer.py:449-468).  Prefix
+    tokens (cls/dist) are carried over unscaled."""
+    import math
+
+    tok, grid = posemb[:, :num_tokens], posemb[0, num_tokens:]
+    gs_old = int(math.sqrt(grid.shape[0]))
+    gs_new = int(math.sqrt(new_len - num_tokens))
+    if gs_old == gs_new:
+        return posemb
+    import jax
+
+    g = grid.reshape(gs_old, gs_old, -1)
+    g = jax.image.resize(jnp_asarray(g), (gs_new, gs_new, g.shape[-1]),
+                         method="bicubic")
+    g = np.asarray(g).reshape(1, gs_new * gs_new, -1)
+    return np.concatenate([tok, g], axis=1)
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x)
+
+
 def merge_pretrained(init_params: Dict[str, Any],
                      loaded: Dict[str, Any]) -> Dict[str, Any]:
     """Overlay loaded leaves onto an initialized tree (strict=False analog,

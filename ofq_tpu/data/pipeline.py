@@ -45,6 +45,10 @@ class DataConfig:
     shuffle_buffer: int = 16384
     seed: int = 42
     synthetic_length: int = 1024
+    # timm RepeatAugSampler analog (train.py:233 num_aug_repeats): each
+    # image appears `num_aug_repeats` times per pass, each copy drawing
+    # independent augmentations.
+    num_aug_repeats: int = 0
 
 
 def _parse_rand_augment(aa: str) -> tuple[int, float, float]:
@@ -122,6 +126,10 @@ def make_dataset(cfg: DataConfig, *, train: bool):
     if train:
         ds = ds.shuffle(min(len(files), cfg.shuffle_buffer),
                         seed=cfg.seed, reshuffle_each_iteration=True)
+        if cfg.num_aug_repeats > 0:
+            reps = cfg.num_aug_repeats
+            ds = ds.flat_map(
+                lambda f, l: tf.data.Dataset.from_tensors((f, l)).repeat(reps))
         ds = ds.repeat()
 
     mean = tf.constant(cfg.mean, tf.float32) * 255.0

@@ -58,6 +58,21 @@ def statsq_quantize(w: jax.Array, num_bits: int, *, reduce_axis: int = 0) -> jax
     return passthrough(jax.lax.stop_gradient(q), w)
 
 
+def statsq_quantize_4d(w: jax.Array, num_bits: int) -> jax.Array:
+    """4-D StatsQ variant: one scale per axis-2 slice.
+
+    Reference: statsq.py:196-219 (`StatsQuantizer_4d`, scale =
+    2·mean over dims (0, 1, 3) for a (B, H, N, D) tensor — unused in the
+    reference's main path but part of its public quantizer surface).
+    """
+    s = 2.0 * jnp.mean(jnp.abs(w), axis=(0, 1, 3), keepdims=True)
+    s = jax.lax.stop_gradient(jnp.maximum(s, jnp.asarray(1e-12, w.dtype)))
+    clipped = jnp.clip(w / s, -1.0, 1.0 - _CLIP_HI_EPS)
+    n = float(2 ** (num_bits - 1))
+    q = s * ((jnp.round(clipped * n - 0.5) + 0.5) / n)
+    return passthrough(jax.lax.stop_gradient(q), w)
+
+
 def cga_band_mask(
     b4_round: jax.Array,
     num_bits: int,

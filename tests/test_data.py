@@ -100,3 +100,17 @@ class TestMixup:
         assert out["soft_label"].shape == (4, 4)
         np.testing.assert_allclose(
             np.asarray(out["soft_label"].sum(-1)), 1.0, rtol=1e-5)
+
+
+class TestRepeatedAug:
+    def test_repeats_in_stream(self, fake_imagefolder):
+        cfg = DataConfig(data_dir=fake_imagefolder, img_size=32, batch_size=6,
+                         num_classes=2, shuffle_buffer=16, num_aug_repeats=3,
+                         aa=None, reprob=0.0)
+        it = make_dataset(cfg, train=True)
+        b = next(it)
+        # with 3 repeats, a 6-batch holds 2 distinct labels-groups of 3
+        labels = b["label"]
+        # each consecutive triple shares the same label (same source image)
+        assert labels[0] == labels[1] == labels[2]
+        assert labels[3] == labels[4] == labels[5]
