@@ -55,6 +55,9 @@ def build_model(args, policy, *, teacher: bool = False):
         over["drop_path_rate"] = args.drop_path
     if args.img_size != 224:
         over["img_size"] = args.img_size
+    if args.replace_ln_by_bn and not teacher and mtype == "deit":
+        # reference --replace-ln-by-bn (train.py:521-522): student only
+        over["norm_layer"] = "batchnorm"
     from ..quant.policy import QuantPolicy
 
     pol = policy if not teacher else QuantPolicy()

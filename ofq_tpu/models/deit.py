@@ -52,6 +52,14 @@ class DeiTConfig:
     qqkkvv: bool = False
     ln_eps: float = 1e-6
     remat: bool = False
+    # 'batchnorm' swaps every LayerNorm for feature-axis BatchNorm
+    # (reference: src/utils/utils.py replace_ln_by_bn behind
+    # --replace-ln-by-bn; its BatchNorm1d-with-transpose == BN over the
+    # feature axis with (batch, token) statistics).  Running stats live in
+    # the 'batch_stats' collection; under SPMD the batch reduction is
+    # global, so the reference's distribute_bn/sync-bn machinery
+    # (train.py:556-566, 823-826) is subsumed by GSPMD collectives.
+    norm_layer: str = "layernorm"
     # 'bfloat16' runs the token stream (matmuls, einsums, residuals) in
     # bf16 with fp32 params and fp32 quantizer math — the TPU-native
     # speed path; None keeps the reference's fp32 everywhere.
@@ -61,6 +69,13 @@ class DeiTConfig:
 DEIT_TINY = DeiTConfig(embed_dim=192, num_heads=3)
 DEIT_SMALL = DeiTConfig(embed_dim=384, num_heads=6)
 DEIT_BASE = DeiTConfig(embed_dim=768, num_heads=12)
+
+
+def make_norm(norm_layer: str, eps: float, name: str, deterministic: bool):
+    if norm_layer == "batchnorm":
+        return nn.BatchNorm(use_running_average=deterministic,
+                            epsilon=eps, momentum=0.9, name=name)
+    return nn.LayerNorm(epsilon=eps, name=name)
 
 
 def _drop_path(x: jax.Array, rate: float, deterministic: bool,
@@ -93,7 +108,7 @@ class Block(nn.Module):
         C = cfg.embed_dim
         hidden = int(C * cfg.mlp_ratio)
 
-        h = nn.LayerNorm(epsilon=cfg.ln_eps, name="norm1")(x)
+        h = make_norm(cfg.norm_layer, cfg.ln_eps, "norm1", deterministic)(x)
         if pol.quantizes(attn_path):
             if pol.qk_reparam:
                 attn = QAttentionQKR(
@@ -125,7 +140,7 @@ class Block(nn.Module):
                 self.make_rng("droppath"))
         x = x + attn_out
 
-        h = nn.LayerNorm(epsilon=cfg.ln_eps, name="norm2")(x)
+        h = make_norm(cfg.norm_layer, cfg.ln_eps, "norm2", deterministic)(x)
         if pol.quantizes(mlp_path):
             mlp = QMlp(
                 hidden_features=hidden, out_features=C,
@@ -206,7 +221,7 @@ class VisionTransformer(nn.Module):
             attn_infos.append(info)
             features.append(x)
 
-        x = nn.LayerNorm(epsilon=cfg.ln_eps, name="norm")(x)
+        x = make_norm(cfg.norm_layer, cfg.ln_eps, "norm", deterministic)(x)
         x = x.astype(jnp.float32)
 
         # --- heads (pinned W8A8 when quantized) ---

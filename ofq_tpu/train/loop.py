@@ -39,10 +39,18 @@ def make_train_step(
     semantics; see ofq_tpu/train/cga.py).
     """
 
-    def loss_fn(params, batch, rng, teacher_params):
+    def loss_fn(params, model_state, batch, rng, teacher_params):
         rngs = {"dropout": rng, "droppath": jax.random.fold_in(rng, 1)}
-        student_out, student_info = model.apply(
-            {"params": params}, batch["image"], train=True, rngs=rngs)
+        variables = {"params": params, **model_state}
+        mutable = list(model_state.keys())  # e.g. ['batch_stats'] under BN
+        if mutable:
+            (student_out, student_info), state_updates = model.apply(
+                variables, batch["image"], train=True, rngs=rngs,
+                mutable=mutable)
+        else:
+            student_out, student_info = model.apply(
+                variables, batch["image"], train=True, rngs=rngs)
+            state_updates = {}
         if loss_kind == "ce":
             out = student_out[0] if isinstance(student_out, tuple) else student_out
             loss = hard_ce(out, batch["label"], label_smoothing)
@@ -63,11 +71,13 @@ def make_train_step(
                     t_info, include_v=(loss_kind == "kd_qkv"))
             else:
                 raise ValueError(loss_kind)
-        return loss
+        return loss, state_updates
 
     def train_step(state: TrainState, batch, rng, teacher_params=None):
-        loss, grads = jax.value_and_grad(loss_fn)(
-            state.params["params"], batch, rng, teacher_params)
+        model_state = {k: v for k, v in state.params.items() if k != "params"}
+        (loss, state_updates), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(
+            state.params["params"], model_state, batch, rng, teacher_params)
 
         masks = None
         if cga is not None:
@@ -111,7 +121,7 @@ def make_train_step(
             new_extra = {**state.extra, "oscillation": osc_states}
 
         return state.replace(
-            params={**state.params, "params": new_params},
+            params={**state.params, **state_updates, "params": new_params},
             opt_state=new_opt_state,
             step=state.step + 1,
             ema_params=new_ema,
@@ -122,10 +132,14 @@ def make_train_step(
 
 
 def make_eval_step(model) -> Callable:
-    """Top-1/top-5 correctness counts for one batch (train.py:1012-1083)."""
+    """Top-1/top-5 correctness counts for one batch (train.py:1012-1083).
+
+    Accepts either a bare param pytree or a full variables dict (with
+    'batch_stats' etc. when the BN-swapped model is in play)."""
 
     def eval_step(params, batch):
-        logits, _ = model.apply({"params": params}, batch["image"], train=False)
+        variables = params if "params" in params else {"params": params}
+        logits, _ = model.apply(variables, batch["image"], train=False)
         top5 = jax.lax.top_k(logits, 5)[1]
         label = batch["label"][:, None]
         correct1 = jnp.sum(top5[:, :1] == label)

@@ -234,3 +234,31 @@ class TestEval:
         out = ev(params["params"], batch)
         assert int(out["count"]) == 4
         assert 0 <= int(out["correct1"]) <= int(out["correct5"]) <= 4
+
+
+class TestBatchNormSwap:
+    def test_bn_model_trains_and_updates_stats(self):
+        import dataclasses as dc
+
+        cfg = dc.replace(TINY, norm_layer="batchnorm")
+        pol = policy_from_args(wq_bitw=2, aq_bitw=2,
+                               qmodules=default_deit_qmodules(2))
+        model = VisionTransformer(cfg=cfg, policy=pol)
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 32, 32, 3)),
+                        jnp.float32)
+        variables = model.init({"params": jax.random.key(0)}, x)
+        assert "batch_stats" in variables
+        tx = make_optimizer(lambda _: 1e-3)
+        state = TrainState.create(variables, tx)
+        step = jax.jit(make_train_step(model, tx, loss_kind="ce"))
+        batch = {"image": x, "label": jnp.asarray([1, 2])}
+        new_state, metrics = step(state, batch, jax.random.key(0))
+        assert bool(jnp.isfinite(metrics["loss"]))
+        # running stats moved
+        m0 = jax.tree.leaves(state.params["batch_stats"])[0]
+        m1 = jax.tree.leaves(new_state.params["batch_stats"])[0]
+        assert float(jnp.max(jnp.abs(m1 - m0))) > 0
+        # eval uses running stats via the full variables dict
+        ev = jax.jit(make_eval_step(model))
+        out = ev(new_state.params, batch)
+        assert int(out["count"]) == 2
