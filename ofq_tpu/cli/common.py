@@ -147,7 +147,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute-dtype", dest="compute_dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--matmul-impl", dest="matmul_impl", default="xla",
-                   choices=["xla", "pallas"])
+                   choices=["xla", "pallas", "fused"])
     p.add_argument("--max-steps", dest="max_steps", type=int, default=None,
                    help="hard stop after N optimizer steps (smoke runs)")
     p.add_argument("--track-oscillation", dest="track_oscillation",

@@ -58,6 +58,11 @@ def build_model(args, policy, *, teacher: bool = False):
     if args.replace_ln_by_bn and not teacher and mtype == "deit":
         # reference --replace-ln-by-bn (train.py:521-522): student only
         over["norm_layer"] = "batchnorm"
+    if not teacher and mtype == "deit":
+        if args.matmul_impl and args.matmul_impl != "xla":
+            over["matmul_impl"] = args.matmul_impl
+        if args.compute_dtype and args.compute_dtype != "float32":
+            over["compute_dtype"] = args.compute_dtype
     from ..quant.policy import QuantPolicy
 
     pol = policy if not teacher else QuantPolicy()

@@ -60,6 +60,8 @@ class DeiTConfig:
     # global, so the reference's distribute_bn/sync-bn machinery
     # (train.py:556-566, 823-826) is subsumed by GSPMD collectives.
     norm_layer: str = "layernorm"
+    # matmul backend for quantized linears: None/'xla' | 'pallas' | 'fused'
+    matmul_impl: Optional[str] = None
     # 'bfloat16' runs the token stream (matmuls, einsums, residuals) in
     # bf16 with fp32 params and fp32 quantizer math — the TPU-native
     # speed path; None keeps the reference's fp32 everywhere.
@@ -118,7 +120,7 @@ class Block(nn.Module):
                     wq_learnable=pol.weight.learnable,
                     attn_drop=cfg.attn_drop_rate, proj_drop=cfg.drop_rate,
                     qqkkvv=cfg.qqkkvv, compute_dtype=cfg.compute_dtype,
-                    name="attn")
+                    matmul_impl=cfg.matmul_impl, name="attn")
             else:
                 attn = QAttention(
                     num_heads=cfg.num_heads,
@@ -127,7 +129,8 @@ class Block(nn.Module):
                     wq_learnable=pol.weight.learnable,
                     attn_drop=cfg.attn_drop_rate, proj_drop=cfg.drop_rate,
                     qqkkvv=cfg.qqkkvv, lsq_weights=pol.lsq_weights,
-                    compute_dtype=cfg.compute_dtype, name="attn")
+                    compute_dtype=cfg.compute_dtype,
+                    matmul_impl=cfg.matmul_impl, name="attn")
         else:
             attn = Attention(
                 num_heads=cfg.num_heads, qkv_bias=True,
@@ -149,7 +152,8 @@ class Block(nn.Module):
                 wq_learnable=pol.weight.learnable,
                 act_layer=pol.act_layer, dropout_rate=cfg.drop_rate,
                 lsq_weights=pol.lsq_weights,
-                compute_dtype=cfg.compute_dtype, name="mlp")
+                compute_dtype=cfg.compute_dtype,
+                matmul_impl=cfg.matmul_impl, name="mlp")
         else:
             mlp = Mlp(hidden_features=hidden, out_features=C,
                       dropout_rate=cfg.drop_rate, name="mlp")

@@ -35,11 +35,44 @@ def _act_fn(name: str) -> Callable[[jax.Array], jax.Array]:
     }[name]
 
 
+class _BiasParam(nn.Module):
+    """Param container matching LearnableBias's tree path ('<name>/bias')."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self) -> jax.Array:
+        return self.param("bias", nn.initializers.zeros, (self.dim,),
+                          jnp.float32)
+
+
+class _ScaleParam(nn.Module):
+    """Param container matching LsqAct's tree path ('<name>/s') with the
+    same data-dependent init."""
+
+    bit: int
+    all_positive: bool
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from ..quant.lsq import init_scale
+
+        x32 = x.astype(jnp.float32)
+        return self.param(
+            "s", lambda rng: init_scale(x32, self.bit, self.all_positive, -2))
+
+
 class QLinear(nn.Module):
     """StatsQ(weight) + bias->LSQ->bias(input) + matmul.
 
     Reference: qlinear.py:28-87 (`QLinear`).  `symmetric=False` selects an
     all-positive (unsigned) input quantizer — used for post-GELU fc2 inputs.
+
+    matmul_impl:
+      None/'xla'  — composed jnp ops (XLA fuses the chains),
+      'pallas'    — fused StatsQ-weight matmul (W_q stays in VMEM),
+      'fused'     — fully-fused LSQ-act + StatsQ-weight integer-core kernel
+                    (ofq_tpu/ops/fused_qlinear.py); identical param tree.
     """
 
     features: int
@@ -59,6 +92,22 @@ class QLinear(nn.Module):
         kernel = self.param(
             "kernel", self.kernel_init, (in_features, self.features), jnp.float32
         )
+        if (self.matmul_impl == "fused" and self.input_bits < 32
+                and self.weight_bits < 32):
+            from ..ops.fused_qlinear import fused_qlinear
+
+            b_pre = _BiasParam(in_features, name="move_b4")()
+            s = _ScaleParam(self.input_bits, not self.symmetric,
+                            name="input_quant")(x)
+            if not self.aq_learnable:
+                s = jax.lax.stop_gradient(s)
+            b_post = _BiasParam(in_features, name="move_aft")()
+            bias = (self.param("bias", self.bias_init, (self.features,),
+                               jnp.float32) if self.use_bias else None)
+            return fused_qlinear(
+                x, kernel, s, b_pre, b_post, bias,
+                w_bits=self.weight_bits, a_bits=self.input_bits,
+                all_positive=not self.symmetric)
         if self.input_bits < 32:
             x = LearnableBias(in_features, name="move_b4")(x)
             x = LsqAct(
@@ -72,7 +121,8 @@ class QLinear(nn.Module):
         if self.weight_bits < 32:
             y = statsq_matmul(
                 x, kernel, self.weight_bits,
-                impl=self.matmul_impl, compute_dtype=self.compute_dtype,
+                impl=self.matmul_impl if self.matmul_impl != "fused" else None,
+                compute_dtype=self.compute_dtype,
             )
         else:
             y = x @ kernel
