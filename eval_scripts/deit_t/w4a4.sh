@@ -1,0 +1,13 @@
+#!/usr/bin/env bash
+# Evaluate a W4A4 checkpoint (ours, or a released torch .pth.tar
+# which is converted on the fly).  Keep the published global batch size —
+# the reference warns eval must match it (README.md:31).
+DATA_DIR=${1:-/data/imagenet}
+CKPT=${2:?usage: $0 <data_dir> <checkpoint>}
+
+python3 -m ofq_tpu.cli.eval -c configs/deit_imagenet_qat.yml "$DATA_DIR" \
+  --model deit_tiny_distilled_patch16_224 --model_type deit --batch-size 140 \
+  --aq-enable --aq-mode lsq --aq-per-channel --aq_clip_learnable --aq-bitw 4 \
+  --wq-enable --wq-per-channel --wq-bitw 4 --wq-mode statsq \
+  --quantized --qk_reparam --qk_reparam_type 1 \
+  --resume "$CKPT"

@@ -58,6 +58,8 @@ class SwinConfig:
     drop_path_rate: float = 0.2
     qqkkvv: bool = False
     ln_eps: float = 1e-5
+    matmul_impl: Optional[str] = None
+    compute_dtype: Optional[str] = None
 
 
 SWIN_TINY = SwinConfig()
@@ -423,6 +425,8 @@ class SwinBlock(nn.Module):
                 aq_learnable=pol.act.learnable,
                 wq_learnable=pol.weight.learnable,
                 act_layer=pol.act_layer, dropout_rate=cfg.drop_rate,
+                matmul_impl=cfg.matmul_impl,
+                compute_dtype=cfg.compute_dtype,
                 name="mlp")(flat, deterministic=deterministic)
         else:
             flat = Mlp(hidden_features=hidden, out_features=self.dim,

@@ -52,6 +52,65 @@ class LsqAct(nn.Module):
         return y.astype(x.dtype)
 
 
+class LsqWeightIterativeFreezing(nn.Module):
+    """LSQ weight quantizer with in-forward integer-domain oscillation
+    tracking and freezing.
+
+    Reference: lsq.py:202-304 (`LsqQuantizerWeight_iterative_freezing`) —
+    present in the reference's quantizer surface but not wired into its
+    module mappings; exposed here for the same capability.  Tracking state
+    lives in the 'oscillation' variable collection (pass
+    mutable=['oscillation'] during training forwards).
+    """
+
+    bit: int
+    per_channel: bool = True
+    learnable: bool = True
+    freeze_momentum: float = 0.01
+    freeze_threshold: float = 0.0
+
+    @nn.compact
+    def __call__(self, w: jax.Array, *, training: bool = False) -> jax.Array:
+        from ..quant.lsq import lsq_quantize_composed, thresholds
+        from ..quant.oscillation import (
+            init_oscillation_state,
+            track_oscillation,
+        )
+        from ..quant.ste import clip_lower, grad_scale, round_pass
+        from ..quant.lsq import grad_scale_factor
+
+        axis = -1 if self.per_channel else None
+        w32 = w.astype(jnp.float32)
+        s = self.param("s", lambda rng: init_scale(w32, self.bit, False, axis))
+        if not self.learnable:
+            s = jax.lax.stop_gradient(s)
+        thd_neg, thd_pos = thresholds(self.bit, False)
+        gf = grad_scale_factor(w32.shape, self.bit, False, axis)
+        shape = [1] * w32.ndim
+        if axis is not None:
+            shape[axis] = s.shape[0]
+        s_eff = grad_scale(clip_lower(s.reshape(shape), 1e-5), gf)
+        x_int = round_pass(jnp.clip(w32 / s_eff, thd_neg, thd_pos))
+
+        state = self.variable(
+            "oscillation", "state",
+            lambda: init_oscillation_state(jax.lax.stop_gradient(x_int)))
+        if training and not self.is_initializing():
+            x_int, new_state = track_oscillation(
+                x_int, state.value, momentum=self.freeze_momentum,
+                freeze_threshold=self.freeze_threshold)
+            if not self.is_mutable_collection("oscillation"):
+                raise ValueError(
+                    "training forward needs mutable=['oscillation']")
+            state.value = new_state
+        else:
+            # eval: apply freezing without tracking (skip_tracking=True path,
+            # reference lsq.py:292-293)
+            x_int = jnp.where(state.value.frozen, state.value.frozen_x_int,
+                              x_int)
+        return (x_int * s_eff).astype(w.dtype)
+
+
 class LsqWeight(nn.Module):
     """LSQ weight fake-quantizer with scale initialized from the kernel.
 

@@ -165,3 +165,28 @@ class TestLearnableBias:
         params = m.init(rngs(), x)
         params = jax.tree.map(lambda p: p + 1.0, params)
         np.testing.assert_allclose(np.asarray(m.apply(params, x)), 1.0)
+
+
+class TestIterativeFreezingWeight:
+    def test_tracks_and_freezes(self):
+        import jax
+        from ofq_tpu.nn.quantizers import LsqWeightIterativeFreezing
+
+        m = LsqWeightIterativeFreezing(bit=2, freeze_momentum=0.5,
+                                       freeze_threshold=0.4)
+        w = jnp.asarray(np.random.default_rng(0).normal(size=(8, 4)) * 0.1,
+                        jnp.float32)
+        variables = m.init({"params": jax.random.key(0)}, w, training=False)
+        assert "oscillation" in variables
+        # flip the weights back and forth -> integer oscillation -> freeze
+        v = variables
+        for i in range(4):
+            sign = 1.0 if i % 2 == 0 else -1.0
+            _, upd = m.apply(v, w + sign * 0.2, training=True,
+                             mutable=["oscillation"])
+            v = {**v, **upd}
+        frozen = v["oscillation"]["state"].frozen
+        assert bool(frozen.any())
+        # eval applies the frozen integers without mutation
+        y = m.apply(v, w, training=False)
+        assert y.shape == w.shape

@@ -1,0 +1,33 @@
+#!/usr/bin/env bash
+# deit_small_distilled_patch16_224 W2A2 QAT (hyperparameters match the reference recipe;
+# scale across chips with --mesh-model-parallel / a bigger TPU mesh instead
+# of --world_size).  Phase 2 below finetunes with CGA.
+DATA_DIR=${1:-/data/imagenet}
+
+python3 -m ofq_tpu.cli.train -c configs/deit_imagenet_qat.yml "$DATA_DIR" \
+  --model deit_small_distilled_patch16_224 --model_type deit \
+  --epochs 300 --batch-size 140 --weight-decay 0.05 \
+  --lr 5.47e-4 --warmup-lr 1.0e-6 --warmup-epochs 5 \
+  --mixup 0.0 --cutmix 0.0 \
+  --aq-enable --aq-mode lsq --aq-per-channel --aq_clip_learnable --aq-bitw 2 \
+  --wq-enable --wq-per-channel --wq-bitw 2 --wq-mode statsq \
+  --quantized --pretrained_initialized \
+  --use-kd --teacher deit_small_distilled_patch16_224 --teacher_type deit --kd_hard_and_soft 1 \
+  --qk_reparam --qk_reparam_type 0 \
+  --teacher_pretrained \
+  --output ./outputs/w2a2_deit
+
+# CGA finetune from the phase-1 best checkpoint:
+python3 -m ofq_tpu.cli.cga -c configs/deit_imagenet_qat.yml "$DATA_DIR" \
+  --model deit_small_distilled_patch16_224 --model_type deit \
+  --epochs 300 --batch-size 140 --weight-decay 0.05 \
+  --lr 5.47e-4 --warmup-lr 1.0e-6 --warmup-epochs 5 \
+  --mixup 0.0 --cutmix 0.0 \
+  --aq-enable --aq-mode lsq --aq-per-channel --aq_clip_learnable --aq-bitw 2 \
+  --wq-enable --wq-per-channel --wq-bitw 2 --wq-mode statsq \
+  --quantized --pretrained_initialized \
+  --use-kd --teacher deit_small_distilled_patch16_224 --teacher_type deit --kd_hard_and_soft 1 \
+  --qk_reparam --qk_reparam_type 1 --boundaryRange 0.005 --freeze_for_n_epochs 30 \
+  --teacher_pretrained \
+  --resume ./outputs/w2a2_deit/best \
+  --output ./outputs/w2a2_deit_cga

@@ -1,0 +1,33 @@
+#!/usr/bin/env bash
+# swin_t W2A2 QAT (hyperparameters match the reference recipe;
+# scale across chips with --mesh-model-parallel / a bigger TPU mesh instead
+# of --world_size).  Phase 2 below finetunes with CGA.
+DATA_DIR=${1:-/data/imagenet}
+
+python3 -m ofq_tpu.cli.train -c configs/swin_imagenet_qat.yml "$DATA_DIR" \
+  --model swin_t --model_type swin \
+  --epochs 300 --batch-size 64 --weight-decay 0.05 \
+  --lr 5.0e-4 --warmup-lr 1.0e-6 --warmup-epochs 5 \
+  --mixup 0.0 --cutmix 0.0 \
+  --aq-enable --aq-mode lsq --aq-per-channel --aq_clip_learnable --aq-bitw 2 \
+  --wq-enable --wq-per-channel --wq-bitw 2 --wq-mode statsq \
+  --quantized --pretrained_initialized \
+  --use-kd --teacher swin_t --teacher_type swin --kd_hard_and_soft 1 \
+  --qk_reparam --qk_reparam_type 0 \
+  --teacher_pretrained \
+  --output ./outputs/w2a2_swin
+
+# CGA finetune from the phase-1 best checkpoint:
+python3 -m ofq_tpu.cli.cga -c configs/swin_imagenet_qat.yml "$DATA_DIR" \
+  --model swin_t --model_type swin \
+  --epochs 300 --batch-size 64 --weight-decay 0.05 \
+  --lr 5.0e-4 --warmup-lr 1.0e-6 --warmup-epochs 5 \
+  --mixup 0.0 --cutmix 0.0 \
+  --aq-enable --aq-mode lsq --aq-per-channel --aq_clip_learnable --aq-bitw 2 \
+  --wq-enable --wq-per-channel --wq-bitw 2 --wq-mode statsq \
+  --quantized --pretrained_initialized \
+  --use-kd --teacher swin_t --teacher_type swin --kd_hard_and_soft 1 \
+  --qk_reparam --qk_reparam_type 1 --boundaryRange 0.005 --freeze_for_n_epochs 30 \
+  --teacher_pretrained \
+  --resume ./outputs/w2a2_swin/best \
+  --output ./outputs/w2a2_swin_cga
