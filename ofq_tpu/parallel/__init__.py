@@ -1,5 +1,10 @@
 """Mesh + sharding (DP over 'data', optional TP over 'model')."""
 
+from .multihost import (
+    host_batch_slice,
+    initialize_multihost,
+    local_to_global,
+)
 from .mesh import (
     batch_shardings,
     make_mesh,
@@ -10,4 +15,5 @@ from .mesh import (
 
 __all__ = [
     "batch_shardings", "make_mesh", "param_spec", "replicated", "shard_params",
+    "host_batch_slice", "initialize_multihost", "local_to_global",
 ]
