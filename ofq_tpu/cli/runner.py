@@ -104,8 +104,7 @@ class Runner:
 
     def load_pretrained(self, params):
         args = self.args
-        path = args.initial_checkpoint or (
-            args.teacher_checkpoint if False else "")
+        path = args.initial_checkpoint
         if not path:
             return params
         from ..convert import (
@@ -259,6 +258,16 @@ class Runner:
                             "epoch %d step %d/%d loss %.4f lr %.3e",
                             epoch, it, steps_per_epoch, loss,
                             float(lr_epoch(epoch)))
+                    if (args.recovery_interval
+                            and total_steps % args.recovery_interval == 0):
+                        # in-epoch crash-recovery snapshot, step-indexed and
+                        # kept separately from the per-epoch best-k set
+                        # (reference train.py:983-985, saver.save_recovery)
+                        if not hasattr(self, "_recovery_mgr"):
+                            self._recovery_mgr = make_manager(
+                                os.path.join(self.out_dir, "recovery"),
+                                max_to_keep=1)
+                        save_epoch(self._recovery_mgr, total_steps, state)
                     if args.max_steps and total_steps >= args.max_steps:
                         break
                     batch = next(train_it)

@@ -17,7 +17,6 @@ to the 'model' shard because the mean reduces over the replicated in-axis.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Optional
 
 import jax

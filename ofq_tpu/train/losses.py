@@ -135,8 +135,7 @@ def dampening_loss(params, bits: int, weighting: float = 0.0) -> jax.Array:
     """
     if weighting == 0.0:
         return jnp.asarray(0.0)
-    from ..quant.statsq import statsq_scale, _CLIP_HI_EPS
-    from ..quant.statsq import statsq_quantize
+    from ..quant.statsq import _CLIP_HI_EPS, statsq_quantize, statsq_scale
 
     total = 0.0
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
