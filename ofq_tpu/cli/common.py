@@ -112,6 +112,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--teacher_checkpoint", default="")
     p.add_argument("--quant_teacher", action="store_true", default=False)
     p.add_argument("--kd_hard_and_soft", type=int, default=0)
+    p.add_argument("--use-token-kd", dest="use_token_kd",
+                   action="store_true", default=False)
     p.add_argument("--kd-alpha", dest="kd_alpha", type=float, default=0.5)
     p.add_argument("--kd-type", dest="kd_type", default="last")
 

@@ -38,6 +38,8 @@ _logger = logging.getLogger("ofq_tpu")
 
 def select_loss_kind(args) -> str:
     """Reference loss selection (train.py:744-766)."""
+    if getattr(args, "use_token_kd", False):
+        return "kd_token"
     if args.use_kd:
         return {0: "kd_soft", 1: "kd_soft_hard", 2: "kd_qk",
                 3: "kd_qkv"}[args.kd_hard_and_soft]
@@ -47,8 +49,10 @@ def select_loss_kind(args) -> str:
 def build_model(args, policy, *, teacher: bool = False):
     name = args.teacher if teacher else args.model
     mtype = args.teacher_type if teacher else args.model_type
-    qqkkvv = args.kd_hard_and_soft in (2, 3)
+    qqkkvv = args.use_kd and args.kd_hard_and_soft in (2, 3)
     over = dict(num_classes=args.num_classes, qqkkvv=qqkkvv)
+    if getattr(args, "use_token_kd", False) and mtype == "deit":
+        over["return_features"] = True
     if mtype == "swin":
         over["drop_path_rate"] = args.drop_path
     elif args.drop_path:
@@ -205,7 +209,9 @@ class Runner:
                 loss_kind=self.loss_kind,
                 label_smoothing=args.smoothing,
                 ema_decay=args.model_ema_decay if args.model_ema else None,
-                cga=cga_cfg, oscillation=osc_cfg), donate_argnums=(0,))
+                cga=cga_cfg, oscillation=osc_cfg,
+                token_kd_alpha=args.kd_alpha,
+                token_kd_type=args.kd_type), donate_argnums=(0,))
             eval_step = jax.jit(make_eval_step(self.model))
 
             mgr = make_manager(self.out_dir, max_to_keep=args.checkpoint_hist,

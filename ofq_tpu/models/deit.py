@@ -62,6 +62,9 @@ class DeiTConfig:
     norm_layer: str = "layernorm"
     # matmul backend for quantized linears: None/'xla' | 'pallas' | 'fused'
     matmul_impl: Optional[str] = None
+    # return per-block token features for token-KD (KLTokenMSELoss):
+    # the aux output becomes {'attn_infos': ..., 'features': [...]}
+    return_features: bool = False
     # 'bfloat16' runs the token stream (matmuls, einsums, residuals) in
     # bf16 with fp32 params and fp32 quantizer math — the TPU-native
     # speed path; None keeps the reference's fp32 everywhere.
@@ -237,15 +240,18 @@ class VisionTransformer(nn.Module):
 
         if not cfg.qqkkvv:
             attn_infos = None
+        aux = attn_infos
+        if cfg.return_features:
+            aux = {"attn_infos": attn_infos, "features": features}
 
         if cfg.distilled:
             cls_logits = head_module("head", "head")(x[:, 0])
             dist_logits = head_module("head_dist", "head_dist")(x[:, 1])
             if train:
-                return (cls_logits, dist_logits), attn_infos
-            return (cls_logits + dist_logits) / 2.0, attn_infos
+                return (cls_logits, dist_logits), aux
+            return (cls_logits + dist_logits) / 2.0, aux
         cls_logits = head_module("head", "head")(x[:, 0])
-        return cls_logits, attn_infos
+        return cls_logits, aux
 
     @staticmethod
     def no_weight_decay() -> tuple[str, ...]:

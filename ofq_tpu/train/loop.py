@@ -32,6 +32,8 @@ def make_train_step(
     ema_decay: Optional[float] = None,
     cga: Optional[dict] = None,  # dict(bits, boundary_range, qk_reparam, model_type)
     oscillation: Optional[dict] = None,  # dict(bits, momentum, freeze_threshold, ...)
+    token_kd_alpha: float = 0.5,
+    token_kd_type: str = "last",
 ) -> Callable:
     """Build the jitted train step closure.
 
@@ -69,6 +71,17 @@ def make_train_step(
                 loss = kd_soft_hard_qk(
                     student_out, student_info, batch["label"], t_logits,
                     t_info, include_v=(loss_kind == "kd_qkv"))
+            elif loss_kind == "kd_token":
+                # KLTokenMSELoss (--use-token-kd): both models built with
+                # return_features=True so aux carries per-block tokens.
+                from .losses import kl_token_mse
+
+                s_logits = (student_out[0] if isinstance(student_out, tuple)
+                            else student_out)
+                loss = kl_token_mse(
+                    s_logits, student_info["features"], t_logits,
+                    jax.lax.stop_gradient(t_info["features"]),
+                    alpha=token_kd_alpha, kd_type=token_kd_type)
             else:
                 raise ValueError(loss_kind)
         return loss, state_updates

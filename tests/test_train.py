@@ -262,3 +262,27 @@ class TestBatchNormSwap:
         ev = jax.jit(make_eval_step(model))
         out = ev(new_state.params, batch)
         assert int(out["count"]) == 2
+
+
+class TestTokenKD:
+    def test_kd_token_step(self):
+        import dataclasses as dc
+
+        cfg = dc.replace(TINY, return_features=True)
+        pol = policy_from_args(wq_bitw=2, aq_bitw=2,
+                               qmodules=default_deit_qmodules(2))
+        student = VisionTransformer(cfg=cfg, policy=pol)
+        teacher = VisionTransformer(cfg=cfg)
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 32, 32, 3)),
+                        jnp.float32)
+        sp = student.init({"params": jax.random.key(0)}, x)
+        tp = teacher.init({"params": jax.random.key(1)}, x)["params"]
+        tx = make_optimizer(lambda _: 1e-3)
+        state = TrainState.create(sp, tx)
+        step = jax.jit(make_train_step(
+            student, tx, teacher=teacher, loss_kind="kd_token",
+            token_kd_alpha=0.5, token_kd_type="all"))
+        batch = {"image": x, "label": jnp.asarray([1, 2])}
+        new_state, metrics = step(state, batch, jax.random.key(2), tp)
+        assert bool(jnp.isfinite(metrics["loss"]))
+        assert float(metrics["loss"]) > 0
