@@ -153,7 +153,8 @@ def make_eval_step(model) -> Callable:
     def eval_step(params, batch):
         variables = params if "params" in params else {"params": params}
         logits, _ = model.apply(variables, batch["image"], train=False)
-        top5 = jax.lax.top_k(logits, 5)[1]
+        k = min(5, logits.shape[-1])
+        top5 = jax.lax.top_k(logits, k)[1]
         label = batch["label"][:, None]
         correct1 = jnp.sum(top5[:, :1] == label)
         correct5 = jnp.sum(top5 == label)
