@@ -246,7 +246,10 @@ class Runner:
                             jnp.asarray(batch["label"]), bs["label"]),
                     }
                     key, sk, mk = jax.random.split(key, 3)
-                    if mixup_on and self.loss_kind == "ce":
+                    # mixup/cutmix applies to any loss whose hard branch
+                    # accepts soft targets (the reference's KD hard CE does;
+                    # utils.py:59 comment "work with mixup as well")
+                    if mixup_on and self.loss_kind in ("ce", "kd_soft_hard"):
                         dev_batch = mixup_cutmix(
                             dev_batch, mk,
                             mixup_alpha=args.mixup, cutmix_alpha=args.cutmix,
@@ -278,7 +281,9 @@ class Runner:
                         break
                     batch = next(train_it)
 
-                eval_metrics = self.evaluate(eval_step, state.params["params"])
+                # pass the full variables dict so BN batch_stats (if any)
+                # reach eval
+                eval_metrics = self.evaluate(eval_step, state.params)
                 if args.model_ema and state.ema_params is not None:
                     # reference train.py:830-836: EMA weights are validated
                     # too and their metric drives checkpoint retention.
@@ -340,7 +345,6 @@ class Runner:
     def evaluate_only(self) -> dict:
         """eval.py analog: build, load checkpoint, validate."""
         args = self.args
-        eval_it = make_dataset(self.data_cfg, train=False)
         first = next(iter(make_dataset(self.data_cfg, train=False)))
         params = self.calibrate_init(first)
         if args.resume:
