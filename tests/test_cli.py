@@ -1,0 +1,70 @@
+"""CLI surface tests: two-stage YAML + flag overrides, policy assembly."""
+
+import textwrap
+
+import pytest
+
+from ofq_tpu.cli.common import parse_args, policy_from_namespace
+
+
+class TestParse:
+    def test_yaml_defaults_and_cli_override(self, tmp_path):
+        cfg = tmp_path / "c.yml"
+        cfg.write_text(textwrap.dedent("""
+            model: deit_small_distilled_patch16_224
+            batch_size: 512
+            lr: 2.0e-4
+            wq_bitw: 3
+            qmodules: ["blocks.0.attn", "head"]
+        """))
+        args = parse_args([
+            "-c", str(cfg), "/data", "--batch-size", "64", "--wq-enable",
+            "--aq-enable", "--aq-bitw", "3"])
+        assert args.model == "deit_small_distilled_patch16_224"  # from YAML
+        assert args.batch_size == 64                             # CLI wins
+        assert args.lr == 2.0e-4
+        assert args.wq_bitw == 3
+        assert args.qmodules == ["blocks.0.attn", "head"]
+        assert args.data_dir == "/data"
+
+    def test_boundary_range_rename(self, tmp_path):
+        args = parse_args(["--boundaryRange", "0.01"])
+        assert args.boundary_range == 0.01
+
+    def test_ignored_gpu_flags_accepted(self):
+        args = parse_args(["--world_size", "8", "--visible_gpu", "0,1",
+                           "--tcp_port", "1234"])
+        assert args.world_size == "8"
+
+    def test_reference_train_script_flags_parse(self):
+        # the exact flag set of train_scripts/deit_s/w2a2_deit_s.sh
+        argv = [
+            "-c", "configs/deit_imagenet_qat.yml", "/data/imagenet",
+            "--model", "deit_small_distilled_patch16_224",
+            "--dataset", "torch/imagenet", "--epochs", "300",
+            "--batch-size", "140", "--weight-decay", "0.05",
+            "--warmup-lr", "1.0e-6", "--lr", "5.47e-4",
+            "--warmup-epochs", "5", "--mixup", "0.0", "--cutmix", "0.0",
+            "--aq-enable", "--aq-mode", "lsq", "--aq-per-channel",
+            "--aq_clip_learnable", "--aq-bitw", "2", "--wq-enable",
+            "--wq-per-channel", "--wq-bitw", "2", "--wq-mode", "statsq",
+            "--model_type", "deit", "--quantized", "--pretrained",
+            "--pretrained_initialized", "--use-kd",
+            "--teacher", "deit_small_distilled_patch16_224",
+            "--kd_hard_and_soft", "1", "--qk_reparam",
+            "--qk_reparam_type", "0", "--teacher_pretrained",
+            "--output", "./out", "--visible_gpu", "4,5,6,7",
+            "--world_size", "4", "--tcp_port", "36969",
+        ]
+        args = parse_args(argv)
+        assert args.qk_reparam and args.kd_hard_and_soft == 1
+        pol = policy_from_namespace(args)
+        assert pol.weight.bit == 2 and pol.act.bit == 2
+        assert pol.weight.mode == "statsq" and pol.act.mode == "lsq"
+        assert pol.qk_reparam
+        assert "blocks.11.mlp" in pol.qmodules  # from the YAML qmodules
+
+    def test_unquantized_default_is_float(self):
+        args = parse_args([])
+        pol = policy_from_namespace(args)
+        assert pol.is_float
