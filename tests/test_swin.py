@@ -142,3 +142,48 @@ class TestSwinQuant:
         # per block: fc1, fc2, proj, v_kernel; plus 1 reduction
         assert len(selected) == 2 * 4 + 1
         assert any("reduction" in s for s in selected)
+
+
+class TestSwinGeometryEdgeCases:
+    def test_non_multiple_window_padding(self):
+        # feature map 6x6 with window 4 -> pad to 8x8 and unpad back
+        cfg = SwinConfig(img_size=24, patch_size=4, embed_dim=12,
+                         depths=(1, 1), num_heads=(2, 4), window_size=4,
+                         num_classes=5)
+        m = SwinTransformer(cfg=cfg)
+        x = x_batch(2, 24)
+        params = m.init({"params": jax.random.key(0)}, x)
+        logits, _ = m.apply(params, x, train=False)
+        assert logits.shape == (2, 5)
+        assert bool(jnp.isfinite(logits).all())
+
+    def test_window_larger_than_map_disables_shift(self):
+        # stage-2 map is 3x3 < window 4: shift must be disabled, not crash
+        cfg = SwinConfig(img_size=24, patch_size=4, embed_dim=12,
+                         depths=(2, 2), num_heads=(2, 4), window_size=4,
+                         num_classes=5)
+        m = SwinTransformer(cfg=cfg)
+        x = x_batch(2, 24)
+        params = m.init({"params": jax.random.key(0)}, x)
+        logits, _ = m.apply(params, x, train=False)
+        assert bool(jnp.isfinite(logits).all())
+
+    def test_quantized_swin_train_step_full_geometry(self):
+        from ofq_tpu.train import TrainState, make_optimizer, make_train_step
+
+        cfg = SwinConfig(img_size=28, patch_size=4, embed_dim=12,
+                         depths=(2,), num_heads=(2,), window_size=3,
+                         num_classes=5, drop_path_rate=0.1)
+        pol = policy_from_args(
+            wq_bitw=2, aq_bitw=2,
+            qmodules=("features.1.0.attn", "features.1.0.mlp",
+                      "features.1.1.attn", "features.1.1.mlp"))
+        m = SwinTransformer(cfg=cfg, policy=pol)
+        x = x_batch(2, 28)
+        params = m.init({"params": jax.random.key(0)}, x)
+        tx = make_optimizer(lambda _: 1e-3)
+        state = TrainState.create(params, tx)
+        step = jax.jit(make_train_step(m, tx, loss_kind="ce"))
+        batch = {"image": x, "label": jnp.asarray([1, 2])}
+        _, metrics = step(state, batch, jax.random.key(1))
+        assert bool(jnp.isfinite(metrics["loss"]))
