@@ -343,13 +343,30 @@ class Runner:
                 "loss": loss_sum / max(n, 1)}
 
     def evaluate_only(self) -> dict:
-        """eval.py analog: build, load checkpoint, validate."""
+        """eval.py analog: build, load checkpoint, validate.
+
+        --resume accepts a torch .pth.tar (converted on the fly), a pickle
+        of a param tree, or an ofq_tpu experiment directory (orbax best
+        checkpoint)."""
         args = self.args
         first = next(iter(make_dataset(self.data_cfg, train=False)))
         params = self.calibrate_init(first)
-        if args.resume:
+        if args.resume and os.path.isdir(args.resume):
+            from ..train.checkpoint import restore_best
+            from ..train.state import TrainState
+
+            tx = make_optimizer(lambda _: 0.0)
+            abstract = jax.eval_shape(
+                lambda v: TrainState.create(v, tx), params)
+            mgr = make_manager(args.resume, metric_name=args.eval_metric)
+            state = restore_best(mgr, abstract)
+            if state is None:
+                raise FileNotFoundError(
+                    f"no orbax checkpoints under {args.resume}")
+            params = state.params
+        elif args.resume:
             args.initial_checkpoint = args.resume
-        params = self.load_pretrained(params)
+            params = self.load_pretrained(params)
         with jax.set_mesh(self.mesh):
             eval_step = jax.jit(make_eval_step(self.model))
             metrics = self.evaluate(eval_step, params["params"])

@@ -286,3 +286,27 @@ class TestTokenKD:
         new_state, metrics = step(state, batch, jax.random.key(2), tp)
         assert bool(jnp.isfinite(metrics["loss"]))
         assert float(metrics["loss"]) > 0
+
+
+class TestQkKD:
+    def test_kd_qk_step_with_gram_distillation(self):
+        import dataclasses as dc
+
+        cfg = dc.replace(TINY, qqkkvv=True)
+        pol = policy_from_args(wq_bitw=2, aq_bitw=2,
+                               qmodules=default_deit_qmodules(2))
+        student = VisionTransformer(cfg=cfg, policy=pol)
+        teacher = VisionTransformer(cfg=cfg)
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 32, 32, 3)),
+                        jnp.float32)
+        sp = student.init({"params": jax.random.key(0)}, x)
+        tp = teacher.init({"params": jax.random.key(1)}, x)["params"]
+        tx = make_optimizer(lambda _: 1e-3)
+        state = TrainState.create(sp, tx)
+        for kind in ("kd_qk", "kd_qkv"):
+            step = jax.jit(make_train_step(
+                student, tx, teacher=teacher, loss_kind=kind))
+            batch = {"image": x, "label": jnp.asarray([1, 2])}
+            _, metrics = step(state, batch, jax.random.key(2), tp)
+            assert bool(jnp.isfinite(metrics["loss"])), kind
+            assert float(metrics["loss"]) > 0
