@@ -129,6 +129,19 @@ class QAttention(nn.Module):
 
         attn = jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale
         attn = jax.nn.softmax(attn, axis=-1)
+        attn_info = None
+        if self.qqkkvv:
+            # capability superset: the reference's QAttention accepts
+            # qqkkvv but always returns None (attention.py:105), making
+            # kd_hard_and_soft=2/3 unusable with quantized students; we
+            # emit the Gram matrices of the quantized q/k/v instead.
+            sq = 1.0 / jnp.sqrt(d)
+            attn_info = (
+                attn,
+                jnp.einsum("bhnd,bhmd->bhnm", q, q) * sq,
+                jnp.einsum("bhnd,bhmd->bhnm", k, k) * sq,
+                jnp.einsum("bhnd,bhmd->bhnm", v, v) * sq,
+            )
         attn = LsqAct(self.input_bits, all_positive=True, channel_axis=-2,
                       learnable=self.aq_learnable, name="quan_softmax")(attn)
         attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
@@ -136,7 +149,7 @@ class QAttention(nn.Module):
         out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
         out = linear_cls(C, name="proj", **lin_kwargs)(out)
         out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
-        return out, None
+        return out, attn_info
 
 
 class QAttentionQKR(nn.Module):
