@@ -20,6 +20,11 @@ def main(argv=None):
         level=logging.INFO,
         format="%(asctime)s %(name)s %(levelname)s: %(message)s")
     args = parse_args(argv)
+    if args.matmul_precision:
+        import jax
+
+        jax.config.update("jax_default_matmul_precision",
+                          args.matmul_precision)
     if args.resume and not args.initial_checkpoint:
         args.initial_checkpoint = args.resume
         args.resume = ""

@@ -152,6 +152,11 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["xla", "pallas", "fused"])
     p.add_argument("--max-steps", dest="max_steps", type=int, default=None,
                    help="hard stop after N optimizer steps (smoke runs)")
+    p.add_argument("--matmul-precision", dest="matmul_precision",
+                   default=None, choices=["default", "high", "highest"],
+                   help="TPU f32 matmul precision; 'highest' avoids the "
+                        "MXU's default bf16 operand truncation (use for "
+                        "checkpoint-parity evals)")
     p.add_argument("--track-oscillation", dest="track_oscillation",
                    action="store_true", default=False,
                    help="in-graph integer-domain oscillation telemetry")

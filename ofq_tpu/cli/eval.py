@@ -18,6 +18,13 @@ def main(argv=None):
         level=logging.INFO,
         format="%(asctime)s %(name)s %(levelname)s: %(message)s")
     args = parse_args(argv)
+    import jax
+
+    # Checkpoint-parity evals default to full-precision matmuls: the MXU's
+    # default f32 path truncates operands to bf16 (~0.4% value error),
+    # which can shift top-1 beyond the 0.1% parity budget.
+    precision = args.matmul_precision or "highest"
+    jax.config.update("jax_default_matmul_precision", precision)
     runner = Runner(args, cga_mode=False)
     metrics = runner.evaluate_only()
     print(f"top1: {metrics['top1']:.3f}  top5: {metrics['top5']:.3f}")

@@ -19,6 +19,11 @@ def main(argv=None):
         level=logging.INFO,
         format="%(asctime)s %(name)s %(levelname)s: %(message)s")
     args = parse_args(argv)
+    if args.matmul_precision:
+        import jax
+
+        jax.config.update("jax_default_matmul_precision",
+                          args.matmul_precision)
     runner = Runner(args, cga_mode=False)
     best = runner.fit()
     print(f"best top1: {best['top1']:.3f} (epoch {best['epoch']})")
