@@ -155,10 +155,12 @@ class Runner:
         with open(os.path.join(self.out_dir, "args.yaml"), "w") as f:
             yaml.safe_dump(vars(args), f)
 
+        from ..data.pipeline import num_samples
+
         train_it = make_dataset(self.data_cfg, train=True)
         first = next(train_it)
         steps_per_epoch = args.steps_per_epoch or max(
-            1281167 // (args.batch_size), 1)
+            num_samples(self.data_cfg, train=True) // args.batch_size, 1)
 
         params = self.calibrate_init(first)
         params = self.load_pretrained(params)
@@ -369,7 +371,8 @@ class Runner:
             params = self.load_pretrained(params)
         with jax.set_mesh(self.mesh):
             eval_step = jax.jit(make_eval_step(self.model))
-            metrics = self.evaluate(eval_step, params["params"])
+            # full variables dict so BN batch_stats (if any) reach eval
+            metrics = self.evaluate(eval_step, params)
         _logger.info("eval: top1 %.3f top5 %.3f loss %.4f",
                      metrics["top1"], metrics["top5"], metrics["loss"])
         return metrics

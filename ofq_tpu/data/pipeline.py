@@ -107,6 +107,18 @@ def _list_imagefolder(data_dir: str, split: str):
     return files, labels, classes
 
 
+def num_samples(cfg: DataConfig, *, train: bool) -> int:
+    """Sample count for epoch sizing (ImageFolder listing or synthetic)."""
+    if cfg.data_dir is None or cfg.data_dir in ("synthetic", ""):
+        return cfg.synthetic_length
+    files, _, _ = _list_imagefolder(
+        cfg.data_dir, "train" if train else "validation")
+    n = len(files)
+    if train and cfg.num_aug_repeats > 0:
+        n *= cfg.num_aug_repeats
+    return n
+
+
 def make_dataset(cfg: DataConfig, *, train: bool):
     """Returns an iterator of {'image': f32 NHWC, 'label': i32} numpy batches."""
     if cfg.data_dir is None or cfg.data_dir in ("synthetic", ""):
