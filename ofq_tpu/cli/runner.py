@@ -62,7 +62,8 @@ def build_model(args, policy, *, teacher: bool = False):
     if args.replace_ln_by_bn and not teacher and mtype == "deit":
         # reference --replace-ln-by-bn (train.py:521-522): student only
         over["norm_layer"] = "batchnorm"
-    if not teacher and mtype == "deit":
+    if not teacher:
+        # TPU speed-path flags apply to both DeiT and Swin students
         if args.matmul_impl and args.matmul_impl != "xla":
             over["matmul_impl"] = args.matmul_impl
         if args.compute_dtype and args.compute_dtype != "float32":
@@ -106,16 +107,85 @@ class Runner:
             lambda key, xx: self.model.init({"params": key}, xx, train=False))
         return init(jax.random.key(self.args.seed), x)
 
+    def abstract_state(self, variables, args=None):
+        """Abstract TrainState matching what fit() saves — same optimizer
+        chain (incl. grad clipping), EMA and oscillation structure — so
+        orbax restore sees an identical pytree."""
+        args = args or self.args
+        tx = make_optimizer(
+            lambda _: 0.0, weight_decay=args.weight_decay,
+            clip_grad=args.clip_grad, clip_mode=args.clip_mode)
+        extra = None
+        if getattr(args, "track_oscillation", False):
+            from ..train.oscillation_hook import init_oscillation_states
+
+            extra = {"oscillation": init_oscillation_states(
+                variables["params"], bits=args.wq_bitw,
+                qk_reparam=args.qk_reparam, model_type=args.model_type)}
+        return jax.eval_shape(
+            lambda v: TrainState.create(v, tx, ema=args.model_ema,
+                                        extra=extra), variables)
+
+    def restore_experiment_params(self, exp_dir: str, variables):
+        """Load the best checkpoint's variables from an experiment dir.
+
+        The checkpoint is restored into the structure of the model THAT
+        experiment trained (rebuilt from its args.yaml), then overlaid
+        onto the current params by matching paths/shapes — so a CGA phase
+        can start from a phase-1 checkpoint even when the architectures
+        differ in detail (e.g. fused-qkv phase 1 -> QKR phase 2, the
+        reference's strict=False resume behavior)."""
+        import argparse
+
+        from ..convert import merge_pretrained, split_qkv_for_qkr
+        from ..train.checkpoint import restore_best
+
+        saved_args = self.args
+        args_path = os.path.join(exp_dir, "args.yaml")
+        if os.path.exists(args_path):
+            with open(args_path) as f:
+                saved = yaml.safe_load(f) or {}
+            saved_args = argparse.Namespace(**{**vars(self.args), **saved})
+        saved_policy = policy_from_namespace(saved_args)
+        saved_model = build_model(saved_args, saved_policy)
+        saved_vars = jax.eval_shape(
+            lambda k, xx: saved_model.init({"params": k}, xx, train=False),
+            jax.random.key(0),
+            jax.ShapeDtypeStruct(
+                (1, saved_args.img_size, saved_args.img_size, 3),
+                jnp.float32))
+        mgr = make_manager(exp_dir, metric_name=self.args.eval_metric)
+        state = restore_best(mgr, self.abstract_state(saved_vars, saved_args))
+        if state is None:
+            raise FileNotFoundError(f"no orbax checkpoints under {exp_dir}")
+        loaded = jax.tree.map(np.asarray, state.params["params"])
+        if self.policy.qk_reparam and not saved_policy.qk_reparam:
+            depth = getattr(self.model.cfg, "depth", 0)
+            if depth:
+                loaded = split_qkv_for_qkr(loaded, depth)
+        merged = merge_pretrained(variables["params"], loaded)
+        return {**variables, "params": jax.tree.map(jnp.asarray, merged)}
+
     def load_pretrained(self, params):
         args = self.args
         path = args.initial_checkpoint
         if not path:
+            if args.pretrained_initialized:
+                raise ValueError(
+                    "--pretrained_initialized requires --initial-checkpoint "
+                    "<local FP checkpoint> on this zero-egress setup (the "
+                    "reference downloads timm/torchvision weights; pass the "
+                    "file explicitly instead). Training from random init "
+                    "will not reach the recipe's accuracy.")
             return params
         from ..convert import (
             convert_deit, convert_swin, load_torch_state_dict,
             merge_pretrained, split_qkv_for_qkr)
 
         _logger.info("loading initial checkpoint %s", path)
+        if os.path.isdir(path):
+            # an ofq_tpu experiment directory (e.g. CGA --resume phase-1)
+            return self.restore_experiment_params(path, params)
         if path.endswith((".pth", ".pth.tar", ".pt", ".bin")):
             sd = load_torch_state_dict(path)
             if args.model_type == "swin":
@@ -168,6 +238,12 @@ class Runner:
 
         tparams = None
         if self.teacher is not None:
+            if args.teacher_pretrained and not args.teacher_checkpoint:
+                raise ValueError(
+                    "--teacher_pretrained requires --teacher_checkpoint "
+                    "<local FP checkpoint> on this zero-egress setup; "
+                    "distilling from a randomly initialized teacher would "
+                    "silently destroy accuracy.")
             tinit = jax.jit(lambda key, xx: self.teacher.init(
                 {"params": key}, xx, train=False))
             tparams = tinit(jax.random.key(0),
@@ -224,8 +300,9 @@ class Runner:
                 _logger.info("auto-resumed from epoch %d", start_epoch)
                 state = restored
             if self.cga_mode:
-                # reference cga.py:760,835: run `freeze_for_n_epochs` more
-                num_epochs = start_epoch + args.freeze_for_n_epochs
+                # reference cga.py:760,835: a FIXED `freeze_for_n_epochs`
+                # window; resume continues within it, never extends it
+                num_epochs = args.freeze_for_n_epochs
             else:
                 num_epochs = args.epochs + args.cooldown_epochs
 
@@ -289,7 +366,9 @@ class Runner:
                 if args.model_ema and state.ema_params is not None:
                     # reference train.py:830-836: EMA weights are validated
                     # too and their metric drives checkpoint retention.
-                    ema_metrics = self.evaluate(eval_step, state.ema_params)
+                    # (merge non-param collections, e.g. BN batch_stats)
+                    ema_vars = {**state.params, "params": state.ema_params}
+                    ema_metrics = self.evaluate(eval_step, ema_vars)
                     _logger.info("epoch %d EMA: top1 %.3f", epoch,
                                  ema_metrics["top1"])
                     eval_metrics = ema_metrics
@@ -354,18 +433,7 @@ class Runner:
         first = next(iter(make_dataset(self.data_cfg, train=False)))
         params = self.calibrate_init(first)
         if args.resume and os.path.isdir(args.resume):
-            from ..train.checkpoint import restore_best
-            from ..train.state import TrainState
-
-            tx = make_optimizer(lambda _: 0.0)
-            abstract = jax.eval_shape(
-                lambda v: TrainState.create(v, tx), params)
-            mgr = make_manager(args.resume, metric_name=args.eval_metric)
-            state = restore_best(mgr, abstract)
-            if state is None:
-                raise FileNotFoundError(
-                    f"no orbax checkpoints under {args.resume}")
-            params = state.params
+            params = self.restore_experiment_params(args.resume, params)
         elif args.resume:
             args.initial_checkpoint = args.resume
             params = self.load_pretrained(params)

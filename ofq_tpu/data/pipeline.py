@@ -113,10 +113,9 @@ def num_samples(cfg: DataConfig, *, train: bool) -> int:
         return cfg.synthetic_length
     files, _, _ = _list_imagefolder(
         cfg.data_dir, "train" if train else "validation")
-    n = len(files)
-    if train and cfg.num_aug_repeats > 0:
-        n *= cfg.num_aug_repeats
-    return n
+    # NOTE: with num_aug_repeats the epoch length stays len(files) (timm
+    # RepeatAugSampler semantics: same steps/epoch, 1/reps distinct images).
+    return len(files)
 
 
 def make_dataset(cfg: DataConfig, *, train: bool):
@@ -220,7 +219,7 @@ def mixup_cutmix(batch, rng_key, *, mixup_alpha: float = 0.8,
 
     x, y = batch["image"], batch["label"]
     B = x.shape[0]
-    k1, k2, k3, k4 = jax.random.split(rng_key, 4)
+    k1, k2, k3, k4, k5, k6 = jax.random.split(rng_key, 6)
     off = label_smoothing / num_classes
     on = 1.0 - label_smoothing + off
     y1 = jax.nn.one_hot(y, num_classes) * (on - off) + off
@@ -234,8 +233,8 @@ def mixup_cutmix(batch, rng_key, *, mixup_alpha: float = 0.8,
     H, W = x.shape[1], x.shape[2]
     rh = jnp.sqrt(1.0 - lam_cut)
     ch, cw = jnp.int32(H * rh), jnp.int32(W * rh)
-    cy = jax.random.randint(k3, (), 0, H)
-    cx = jax.random.randint(k4, (), 0, W)
+    cy = jax.random.randint(k5, (), 0, H)
+    cx = jax.random.randint(k6, (), 0, W)
     y0c = jnp.clip(cy - ch // 2, 0, H)
     x0c = jnp.clip(cx - cw // 2, 0, W)
     y1c = jnp.clip(cy + ch // 2, 0, H)

@@ -222,6 +222,8 @@ class QSwinAttention(WindowAttentionBase):
     wq_learnable: bool = True
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    matmul_impl: Optional[str] = None
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -231,7 +233,9 @@ class QSwinAttention(WindowAttentionBase):
         d = C // H
         lin_kwargs = dict(weight_bits=self.weight_bits,
                           input_bits=self.input_bits, symmetric=True,
-                          aq_learnable=self.aq_learnable)
+                          aq_learnable=self.aq_learnable,
+                          matmul_impl=self.matmul_impl,
+                          compute_dtype=self.compute_dtype)
         qkv = QLinear(3 * C, name="qkv", **lin_kwargs)(tokens)
         if self.input_bits < 32:
             qkv = LearnableBias(3 * C, name="move_qkv_b4")(qkv)
@@ -281,6 +285,8 @@ class QSwinAttentionQKR(WindowAttentionBase):
     wq_learnable: bool = True
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    matmul_impl: Optional[str] = None
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -297,7 +303,10 @@ class QSwinAttentionQKR(WindowAttentionBase):
         v_kernel = self.param(
             "v_kernel", nn.initializers.lecun_normal(), (C, C), jnp.float32)
         v_bias = self.param("v_bias", nn.initializers.zeros, (C,), jnp.float32)
-        v_out = xq @ statsq_quantize(v_kernel, self.weight_bits) + v_bias
+        vq = statsq_quantize(v_kernel, self.weight_bits)
+        if self.compute_dtype is not None:
+            vq = vq.astype(self.compute_dtype)
+        v_out = xq @ vq + v_bias.astype(xq.dtype)
         v_out = LearnableBias(C, name="move_v_b4")(v_out)
         v_out = LsqAct(self.input_bits, channel_axis=-1,
                        learnable=self.aq_learnable, name="quan_v")(v_out)
@@ -313,6 +322,8 @@ class QSwinAttentionQKR(WindowAttentionBase):
         w_qk = statsq_quantize(
             w_qk.reshape(H * C, C), self.weight_bits, reduce_axis=-1
         ).reshape(H, C, C)
+        if self.compute_dtype is not None:
+            w_qk = w_qk.astype(self.compute_dtype)
 
         qkx = jnp.einsum("hij,bnj->bhin", w_qk, xq)
         qkx = qkx.transpose(0, 3, 1, 2).reshape(Bn, n, H * C)
@@ -336,7 +347,9 @@ class QSwinAttentionQKR(WindowAttentionBase):
         out = out.transpose(0, 2, 1, 3).reshape(Bn, n, C)
         out = QLinear(
             C, weight_bits=self.weight_bits, input_bits=self.input_bits,
-            symmetric=True, aq_learnable=self.aq_learnable, name="proj")(out)
+            symmetric=True, aq_learnable=self.aq_learnable,
+            matmul_impl=self.matmul_impl,
+            compute_dtype=self.compute_dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
         return self.finish(out, geom), None
 
@@ -393,18 +406,17 @@ class SwinBlock(nn.Module):
                       window_size=cfg.window_size, shift_size=self.shift,
                       attn_drop=cfg.attn_drop_rate, proj_drop=cfg.drop_rate)
         if pol.quantizes(self.attn_path):
+            qkw = dict(weight_bits=pol.weight.bit, input_bits=pol.act.bit,
+                       aq_learnable=pol.act.learnable,
+                       wq_learnable=pol.weight.learnable,
+                       matmul_impl=cfg.matmul_impl,
+                       compute_dtype=cfg.compute_dtype)
             if pol.qk_reparam:
                 attn_out, info = QSwinAttentionQKR(
-                    weight_bits=pol.weight.bit, input_bits=pol.act.bit,
-                    aq_learnable=pol.act.learnable,
-                    wq_learnable=pol.weight.learnable,
-                    name="attn", **common)(h, deterministic=deterministic)
+                    name="attn", **qkw, **common)(h, deterministic=deterministic)
             else:
                 attn_out, info = QSwinAttention(
-                    weight_bits=pol.weight.bit, input_bits=pol.act.bit,
-                    aq_learnable=pol.act.learnable,
-                    wq_learnable=pol.weight.learnable,
-                    name="attn", **common)(h, deterministic=deterministic)
+                    name="attn", **qkw, **common)(h, deterministic=deterministic)
         else:
             attn_out, info = SwinAttention(
                 qqkkvv=cfg.qqkkvv, name="attn", **common

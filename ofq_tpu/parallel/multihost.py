@@ -26,10 +26,10 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
 
     With TPU metadata available (GKE/GCE pods) all arguments are inferred;
     explicit values support manual rendezvous.  Single-process runs are a
-    no-op.
+    no-op.  Must run before any backend use — do NOT query jax.devices()/
+    process_count() first (that would initialize the local backend and
+    defeat distributed bring-up).
     """
-    if jax.process_count() > 1:
-        return  # already initialized
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

@@ -121,38 +121,15 @@ def statsq_quantize_cga(
     oscillation-capable weights keep moving.
     Reference: statsq.py:154-193 (`StatsQuantizer_specific_4_qkreparam_cga`).
     """
-    s = statsq_scale(w, reduce_axis=reduce_axis)
-    scaled = w / s
-    clipped = jnp.clip(scaled, -1.0, 1.0 - _CLIP_HI_EPS)
-    n = float(2 ** (num_bits - 1))
-    b4_round = clipped * n - 0.5
-    if training:
-        keep = cga_band_mask(jax.lax.stop_gradient(b4_round), num_bits, boundary_range)
-        # Frozen entries contribute their value but no gradient
-        # (reference statsq.py:186-188).
-        b4_round = jnp.where(keep, b4_round, jax.lax.stop_gradient(b4_round))
-    q = s * ((jnp.round(b4_round) + 0.5) / n)
-    return passthrough(jax.lax.stop_gradient(q), w) if not training else (
-        # Keep the partially-detached gradient path: grad flows through
-        # b4_round only where `keep` is true, mirroring the reference's
-        # `quan.detach() - real.detach() + real` with masked b4_round.
-        _cga_passthrough(q, b4_round, w, s, n)
-    )
-
-
-def _cga_passthrough(q, b4_round, w, s, n):
-    """STE for the CGA forward.
-
-    The reference applies the *full* passthrough `q.detach() - w.detach() + w`
-    (statsq.py:190-191), which overrides the band masking for the final STE —
-    the masking only matters through `b4_round`'s own graph, which is then
-    detached anyway.  Net effect in the reference: the weight gradient is
-    identity regardless of the band (the in-forward mask is a no-op for
-    gradients in the torch code because `quan_weights_no_grad` is detached).
-    We reproduce that exactly: full STE passthrough.
-    """
-    del b4_round, s, n
-    return passthrough(jax.lax.stop_gradient(q), w)
+    # The reference's in-forward band masking is gradient-inert: the masked
+    # b4_round only feeds `quan_weights_no_grad`, which is then fully
+    # detached before the STE passthrough `q.detach() - w.detach() + w`
+    # (statsq.py:186-191).  Net observable behavior == plain StatsQ, for
+    # both value and gradient — proven by tests/test_quant_core.py.  CGA's
+    # real gradient effect lives in the outer optimizer transform
+    # (ofq_tpu/train/cga.py).
+    del boundary_range, training
+    return statsq_quantize(w, num_bits, reduce_axis=reduce_axis)
 
 
 def outer_freeze_mask(w: jax.Array, num_bits: int, boundary_range: float,

@@ -59,15 +59,30 @@ class Predictor:
         variables = jax.jit(
             lambda key, xx: model.init({"params": key}, xx, train=False)
         )(jax.random.key(0), x)
-        tx = make_optimizer(lambda _: 0.0)
+        # rebuild the EXACT saved state structure (optimizer chain incl.
+        # clipping, EMA, oscillation extra) so orbax restore matches
+        tx = make_optimizer(
+            lambda _: 0.0, weight_decay=args.weight_decay,
+            clip_grad=args.clip_grad, clip_mode=args.clip_mode)
+        extra = None
+        if getattr(args, "track_oscillation", False):
+            from .train.oscillation_hook import init_oscillation_states
+
+            extra = {"oscillation": init_oscillation_states(
+                variables["params"], bits=args.wq_bitw,
+                qk_reparam=args.qk_reparam, model_type=args.model_type)}
         abstract = jax.eval_shape(
-            lambda v: TrainState.create(v, tx), variables)
+            lambda v: TrainState.create(v, tx, ema=args.model_ema,
+                                        extra=extra), variables)
         mgr = make_manager(exp_dir, metric_name=args.eval_metric)
         state = (restore_best(mgr, abstract) if use_best else
                  restore_latest(mgr, abstract)[0])
         if state is None:
             raise FileNotFoundError(f"no checkpoints under {exp_dir}")
-        return cls(model, state.params, batch_size=batch_size,
+        params = state.params
+        if args.model_ema and state.ema_params is not None:
+            params = {**params, "params": state.ema_params}
+        return cls(model, params, batch_size=batch_size,
                    img_size=args.img_size)
 
     def predict(self, images: np.ndarray) -> np.ndarray:
