@@ -17,6 +17,9 @@ def main(argv=None):
     logging.basicConfig(
         level=logging.INFO,
         format="%(asctime)s %(name)s %(levelname)s: %(message)s")
+    from ..parallel import initialize_multihost
+
+    initialize_multihost()  # no-op off-pod; must precede any backend use
     args = parse_args(argv)
     import jax
 

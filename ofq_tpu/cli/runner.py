@@ -70,7 +70,18 @@ def build_model(args, policy, *, teacher: bool = False):
             over["compute_dtype"] = args.compute_dtype
     from ..quant.policy import QuantPolicy
 
-    pol = policy if not teacher else QuantPolicy()
+    if teacher:
+        if args.quant_teacher:
+            # reference --quant_teacher (train.py:436-441): W4A4 teacher
+            pol = dataclasses.replace(
+                policy,
+                weight=dataclasses.replace(policy.weight, bit=4),
+                act=dataclasses.replace(policy.act, bit=4),
+            )
+        else:
+            pol = QuantPolicy()
+    else:
+        pol = policy
     return create_model(name, policy=pol, **over)
 
 
@@ -89,12 +100,18 @@ class Runner:
         data_dir = args.data_dir
         if data_dir in ("synthetic", "", None):
             data_dir = None
+        # multi-host pods: each host loads its slice of the global batch
+        # (distinct stream via a per-process seed) and the slices are
+        # assembled into one globally-sharded array per step.
+        self.n_proc = jax.process_count()
+        per_host_batch = args.batch_size // max(self.n_proc, 1)
         self.data_cfg = DataConfig(
             data_dir=data_dir, img_size=args.img_size,
-            batch_size=args.batch_size, num_classes=args.num_classes,
+            batch_size=per_host_batch, num_classes=args.num_classes,
             crop_pct=args.crop_pct, aa=args.aa or None, reprob=args.reprob,
-            seed=args.seed, num_aug_repeats=args.num_aug_repeats,
-            synthetic_length=args.batch_size * (args.steps_per_epoch or 4),
+            seed=args.seed + jax.process_index(),
+            num_aug_repeats=args.num_aug_repeats,
+            synthetic_length=per_host_batch * (args.steps_per_epoch or 4),
         )
 
     # ------------------------------------------------------------ setup
@@ -318,12 +335,17 @@ class Runner:
                 t0 = time.time()
                 losses = []
                 for it in range(steps_per_epoch):
-                    dev_batch = {
-                        "image": jax.device_put(
-                            jnp.asarray(batch["image"]), bs["image"]),
-                        "label": jax.device_put(
-                            jnp.asarray(batch["label"]), bs["label"]),
-                    }
+                    if self.n_proc > 1:
+                        from ..parallel import local_to_global
+
+                        dev_batch = local_to_global(batch, self.mesh, bs)
+                    else:
+                        dev_batch = {
+                            "image": jax.device_put(
+                                jnp.asarray(batch["image"]), bs["image"]),
+                            "label": jax.device_put(
+                                jnp.asarray(batch["label"]), bs["label"]),
+                        }
                     key, sk, mk = jax.random.split(key, 3)
                     # mixup/cutmix applies to any loss whose hard branch
                     # accepts soft targets (the reference's KD hard CE does;

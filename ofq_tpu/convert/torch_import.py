@@ -19,6 +19,7 @@ by `torch.load` (torch CPU is available in this image; no network needed).
 
 from __future__ import annotations
 
+import math
 import re
 from typing import Any, Dict, Mapping
 
@@ -118,9 +119,23 @@ def _patch_embed(sd, prefix, dst, tree, img_size: int):
     _maybe(sd, f"{prefix}.bias", dst + ["bias"], tree)
     _maybe(sd, f"{prefix}.lsqw_fn.s", dst + ["weight_quant", "s"], tree)
     _maybe(sd, f"{prefix}.input_quant_fn.s", dst + ["input_quant", "s"], tree)
+
+    def spatial_bias(v):
+        # stored flat at the checkpoint's own resolution; resample if the
+        # target img_size differs (reference hardcodes 224*224,
+        # qlinear.py:163)
+        side = int(round(math.sqrt(v.size)))
+        b = v.reshape(side, side)
+        if side != img_size:
+            import jax
+
+            b = np.asarray(jax.image.resize(
+                jnp_asarray(b), (img_size, img_size), method="bilinear"))
+        return b
+
     for mv in ("move_b4", "move_aft"):
         _maybe(sd, f"{prefix}.{mv}.bias", dst + [mv, "bias"], tree,
-               transform=lambda v: v.reshape(img_size, img_size))
+               transform=spatial_bias)
 
 
 def convert_deit(sd: Mapping[str, np.ndarray], *, depth: int = 12,
@@ -243,8 +258,18 @@ def merge_pretrained(init_params: Dict[str, Any],
             if isinstance(v, dict) and isinstance(dst[k], dict):
                 out[k] = overlay(dst[k], v)
             elif not isinstance(v, dict):
-                if tuple(np.shape(dst[k])) == tuple(np.shape(v)):
+                want = tuple(np.shape(dst[k]))
+                have = tuple(np.shape(v))
+                if want == have:
                     out[k] = np.asarray(v, dtype=np.float32)
+                elif (k == "pos_embed" and len(want) == 3 and len(have) == 3
+                      and want[-1] == have[-1]):
+                    # grid-size mismatch: bicubic-resample like the
+                    # reference's resize_pos_embed (deit_vision_
+                    # transformer.py:449-468)
+                    out[k] = resize_pos_embed(
+                        np.asarray(v, np.float32), want[1]
+                    ).astype(np.float32)
         return out
 
     return overlay(init_params, loaded)

@@ -72,8 +72,9 @@ def _invert(img):
 
 
 def _posterize(img, mag):
-    bits = tf.cast(4.0 - (mag / _MAX_LEVEL) * 4.0, tf.int32)  # 'inc' mapping
-    shift = tf.clip_by_value(8 - (4 + bits), 0, 8)
+    # timm PosterizeIncreasing: keep 4 - int(m/10*4) bits (1 bit at m=9)
+    bits_kept = tf.cast(4.0 - (mag / _MAX_LEVEL) * 4.0, tf.int32)
+    shift = tf.clip_by_value(8 - bits_kept, 0, 8)
     return tf.bitwise.left_shift(
         tf.bitwise.right_shift(tf.cast(img, tf.int32), shift), shift)
 

@@ -89,8 +89,13 @@ def _tf():
     return tf
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
 def _list_imagefolder(data_dir: str, split: str):
-    """ImageFolder layout: <root>/<split>/<class>/<img>."""
+    """ImageFolder layout: <root>/<split>/<class>/<img> (listing cached:
+    validation re-listing every epoch costs minutes on networked FS)."""
     split_dir = os.path.join(data_dir, split)
     if not os.path.isdir(split_dir) and split == "validation":
         split_dir = os.path.join(data_dir, "val")
@@ -189,6 +194,9 @@ def make_dataset(cfg: DataConfig, *, train: bool):
         nh = tf.cast(tf.round(tf.cast(shape[0], tf.float32) * ratio), tf.int32)
         nw = tf.cast(tf.round(tf.cast(shape[1], tf.float32) * ratio), tf.int32)
         img = tf.image.resize(img, (nh, nw), method="bicubic")
+        # PIL resizes in uint8: clamp the bicubic overshoot and round so
+        # eval inputs match the reference's uint8 pipeline
+        img = tf.round(tf.clip_by_value(img, 0.0, 255.0))
         top = (nh - size) // 2
         left = (nw - size) // 2
         img = img[top:top + size, left:left + size]
@@ -225,10 +233,15 @@ def mixup_cutmix(batch, rng_key, *, mixup_alpha: float = 0.8,
     y1 = jax.nn.one_hot(y, num_classes) * (on - off) + off
     perm = jnp.flip(jnp.arange(B))  # timm 'batch' mode pairs with flipped batch
     use_mix = jax.random.uniform(k1) < prob
-    use_cutmix = jax.random.uniform(k2) < switch_prob
+    # timm Mixup only flips a coin between the two modes when BOTH alphas
+    # are active; a zero alpha would make jax.random.beta return NaN.
+    if mixup_alpha > 0.0 and cutmix_alpha > 0.0:
+        use_cutmix = jax.random.uniform(k2) < switch_prob
+    else:
+        use_cutmix = jnp.asarray(cutmix_alpha > 0.0)
 
-    lam_mix = jax.random.beta(k3, mixup_alpha, mixup_alpha)
-    lam_cut = jax.random.beta(k4, cutmix_alpha, cutmix_alpha)
+    lam_mix = jax.random.beta(k3, max(mixup_alpha, 1e-8), max(mixup_alpha, 1e-8))
+    lam_cut = jax.random.beta(k4, max(cutmix_alpha, 1e-8), max(cutmix_alpha, 1e-8))
 
     H, W = x.shape[1], x.shape[2]
     rh = jnp.sqrt(1.0 - lam_cut)

@@ -376,15 +376,16 @@ class PatchMerging(nn.Module):
         x = nn.LayerNorm(epsilon=self.ln_eps, name="norm")(x)
         if self.policy.quantizes(self.qpath):
             pol = self.policy
-            # QLinear's per-token LSQ needs a token axis: flatten spatial.
-            b, h2, w2, c4 = x.shape
-            flat = x.reshape(b, h2 * w2, c4)
-            flat = QLinear(
+            # The reference feeds the 4-D (B, H/2, W/2, 4C) map straight
+            # into the quantized linear: the per-"token" LSQ scale rides
+            # axis -2, i.e. one scale per WIDTH column shared across rows
+            # (LsqQuantizer 4-D branch, lsq.py:552-560).  Keep the 4-D
+            # shape so the scale shape matches reference checkpoints.
+            return QLinear(
                 2 * self.dim, weight_bits=pol.weight.bit,
                 input_bits=pol.act.bit, symmetric=True,
                 aq_learnable=pol.act.learnable, use_bias=False,
-                name="reduction")(flat)
-            return flat.reshape(b, h2, w2, 2 * self.dim)
+                name="reduction")(x)
         return nn.Dense(2 * self.dim, use_bias=False, name="reduction")(x)
 
 
@@ -428,10 +429,11 @@ class SwinBlock(nn.Module):
 
         h = nn.LayerNorm(epsilon=cfg.ln_eps, name="norm2")(x)
         hidden = int(self.dim * cfg.mlp_ratio)
-        b, hh, ww, c = h.shape
-        flat = h.reshape(b, hh * ww, c)
+        # 4-D maps go straight into the (quantized) MLP: the reference's
+        # LSQ scale is per width column on (B, H, W, C) inputs
+        # (QMLP_swin feeds 4-D, lsq.py:552-560) — do not flatten.
         if pol.quantizes(self.mlp_path):
-            flat = QMlp(
+            mlp_out = QMlp(
                 hidden_features=hidden, out_features=self.dim,
                 weight_bits=pol.weight.bit, input_bits=pol.act.bit,
                 aq_learnable=pol.act.learnable,
@@ -439,12 +441,11 @@ class SwinBlock(nn.Module):
                 act_layer=pol.act_layer, dropout_rate=cfg.drop_rate,
                 matmul_impl=cfg.matmul_impl,
                 compute_dtype=cfg.compute_dtype,
-                name="mlp")(flat, deterministic=deterministic)
+                name="mlp")(h, deterministic=deterministic)
         else:
-            flat = Mlp(hidden_features=hidden, out_features=self.dim,
-                       dropout_rate=cfg.drop_rate,
-                       name="mlp")(flat, deterministic=deterministic)
-        mlp_out = flat.reshape(b, hh, ww, c)
+            mlp_out = Mlp(hidden_features=hidden, out_features=self.dim,
+                          dropout_rate=cfg.drop_rate,
+                          name="mlp")(h, deterministic=deterministic)
         if self.drop_path > 0 and not deterministic:
             mlp_out = _drop_path(mlp_out, self.drop_path, deterministic,
                                  self.make_rng("droppath"))

@@ -128,10 +128,12 @@ def policy_from_args(
         per_channel=wq_per_channel,
         learnable=wq_learnable,
     )
-    a_mode = aq_mode if (aq_enable and aq_bitw < 32) else "identity"
+    a_bits_valid = aq_enable and aq_bitw < 32
     act = QuantSpec(
-        mode=a_mode,
-        bit=aq_bitw,
+        mode=aq_mode if a_bits_valid else "identity",
+        # models gate on `bit`; identity mode must carry bit=32 so
+        # disabling --aq-enable actually disables activation quantizers
+        bit=aq_bitw if a_bits_valid else 32,
         per_channel=aq_per_channel,
         learnable=aq_learnable,
     )

@@ -110,10 +110,6 @@ def make_train_step(
             new_params = cga_lib.restore_frozen(
                 state.params["params"], new_params, masks)
 
-        new_ema = state.ema_params
-        if ema_decay is not None and state.ema_params is not None:
-            new_ema = ema_update(state.ema_params, new_params, ema_decay)
-
         metrics = {
             "loss": loss,
             "grad_norm": optax.global_norm(grads),
@@ -121,7 +117,7 @@ def make_train_step(
 
         new_extra = state.extra
         if oscillation is not None and state.extra is not None:
-            from .oscillation_hook import update_oscillation_states
+            from .oscillation_hook import apply_frozen, update_oscillation_states
 
             osc_states, osc_metrics = update_oscillation_states(
                 new_params, state.extra["oscillation"],
@@ -132,6 +128,15 @@ def make_train_step(
                 model_type=oscillation.get("model_type", "deit"))
             metrics.update(osc_metrics)
             new_extra = {**state.extra, "oscillation": osc_states}
+            if oscillation.get("freeze_threshold", 0.0) > 0:
+                new_params = apply_frozen(
+                    state.params["params"], new_params, osc_states,
+                    qk_reparam=oscillation.get("qk_reparam", False),
+                    model_type=oscillation.get("model_type", "deit"))
+
+        new_ema = state.ema_params
+        if ema_decay is not None and state.ema_params is not None:
+            new_ema = ema_update(state.ema_params, new_params, ema_decay)
 
         return state.replace(
             params={**state.params, **state_updates, "params": new_params},

@@ -76,3 +76,26 @@ def update_oscillation_states(
         "oscillation/ema_mean": osc_sum / max(osc_count, 1),
     }
     return new_states, metrics
+
+
+def apply_frozen(old_params, new_params, states: Dict[str, OscillationState],
+                 *, qk_reparam: bool = False, model_type: str = "deit"):
+    """Pin weights whose integer image is frozen: keep the pre-update real
+    value so the quantized integer stops moving (the oscillation-freezing
+    counterpart of TrackOscillation's in-forward substitution,
+    lsq.py:140-141, applied at the optimizer boundary)."""
+
+    def rebuild(path, new_leaf):
+        if not is_cga_kernel(path, qk_reparam=qk_reparam,
+                             model_type=model_type):
+            return new_leaf
+        name = "/".join(getattr(p, "key", "") for p in path)
+        st = states.get(name)
+        if st is None:
+            return new_leaf
+        old_leaf = old_params
+        for p in path:
+            old_leaf = old_leaf[getattr(p, "key")]
+        return jnp.where(st.frozen, old_leaf, new_leaf)
+
+    return jax.tree_util.tree_map_with_path(rebuild, new_params)
