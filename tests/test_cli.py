@@ -68,3 +68,21 @@ class TestParse:
         args = parse_args([])
         pol = policy_from_namespace(args)
         assert pol.is_float
+
+
+class TestPolicyGating:
+    def test_aq_disabled_means_no_act_quantizers(self):
+        args = parse_args(["--quantized", "--wq-enable", "--wq-bitw", "2"])
+        pol = policy_from_namespace(args)
+        assert pol.act.bit == 32 and not pol.act.enabled
+        # model built from this policy must not create activation quantizers
+        import jax
+        import jax.numpy as jnp
+
+        from ofq_tpu.models import DeiTConfig, VisionTransformer
+
+        cfg = DeiTConfig(img_size=32, patch_size=8, embed_dim=24, depth=1,
+                         num_heads=3, num_classes=10)
+        m = VisionTransformer(cfg=cfg, policy=pol)
+        p = m.init({"params": jax.random.key(0)}, jnp.zeros((1, 32, 32, 3)))
+        assert "input_quant" not in p["params"]["blocks_0"]["mlp"]["fc1"]

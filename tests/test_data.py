@@ -114,3 +114,23 @@ class TestRepeatedAug:
         # each consecutive triple shares the same label (same source image)
         assert labels[0] == labels[1] == labels[2]
         assert labels[3] == labels[4] == labels[5]
+
+
+class TestMixupSingleAlpha:
+    def test_cutmix_only_no_nan(self):
+        import jax
+        import jax.numpy as jnp
+
+        batch = {
+            "image": jnp.asarray(
+                np.random.default_rng(0).normal(size=(4, 8, 8, 3)),
+                np.float32),
+            "label": jnp.asarray([0, 1, 2, 3]),
+        }
+        for ma, ca in ((0.0, 1.0), (0.8, 0.0)):
+            for i in range(6):
+                out = mixup_cutmix(batch, jax.random.key(i),
+                                   mixup_alpha=ma, cutmix_alpha=ca,
+                                   num_classes=4, label_smoothing=0.0)
+                assert bool(jnp.isfinite(out["image"]).all()), (ma, ca, i)
+                assert bool(jnp.isfinite(out["soft_label"]).all()), (ma, ca, i)

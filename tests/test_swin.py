@@ -187,3 +187,19 @@ class TestSwinGeometryEdgeCases:
         batch = {"image": x, "label": jnp.asarray([1, 2])}
         _, metrics = step(state, batch, jax.random.key(1))
         assert bool(jnp.isfinite(metrics["loss"]))
+
+
+class TestSwinLsqScaleShapes:
+    def test_mlp_scale_is_per_width_column(self):
+        """Reference QMLP_swin feeds 4-D maps into LSQ: s shape == W
+        (lsq.py:552-560), required for released-checkpoint import."""
+        pol = policy_from_args(
+            wq_bitw=2, aq_bitw=2, qmodules=default_swin_qmodules((1, 1)))
+        m = SwinTransformer(cfg=SMALL, policy=pol)
+        x = x_batch()
+        params = m.init({"params": jax.random.key(0)}, x)
+        p = params["params"]
+        # stage 1 map is 8x8 -> fc1 input scale (8,), not (64,)
+        assert p["features_1_0"]["mlp"]["fc1"]["input_quant"]["s"].shape == (8,)
+        # patch-merging reduction on the 4x4 map -> (4,)
+        assert p["features_2"]["reduction"]["input_quant"]["s"].shape == (4,)
