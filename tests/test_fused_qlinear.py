@@ -92,3 +92,30 @@ class TestFusedQLinear:
         g = jax.grad(lambda p: jnp.sum(m.apply(p, x) ** 2))(params)
         np.testing.assert_allclose(
             np.asarray(g["params"]["input_quant"]["s"]), 0.0)
+
+
+class TestFused4D:
+    def test_swin_style_4d_input_parity(self):
+        """Swin quantized linears run on 4-D (B,H,W,C): the fused kernel
+        must tile the per-width-column scale correctly."""
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.normal(size=(2, 4, 6, 16)), jnp.float32)
+        m_ref = QLinear(8, weight_bits=2, input_bits=2)
+        m_f = QLinear(8, weight_bits=2, input_bits=2, matmul_impl="fused")
+        params = m_ref.init({"params": jax.random.key(0)}, x)
+        assert params["params"]["input_quant"]["s"].shape == (6,)
+        y_ref = m_ref.apply(params, x)
+        y_f = m_f.apply(params, x)
+        np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_no_bias_reduction_style(self):
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.normal(size=(2, 5, 12)), jnp.float32)
+        m_ref = QLinear(6, weight_bits=2, input_bits=2, use_bias=False)
+        m_f = QLinear(6, weight_bits=2, input_bits=2, use_bias=False,
+                      matmul_impl="fused")
+        params = m_ref.init({"params": jax.random.key(0)}, x)
+        np.testing.assert_allclose(
+            np.asarray(m_f.apply(params, x)),
+            np.asarray(m_ref.apply(params, x)), rtol=2e-5, atol=2e-5)

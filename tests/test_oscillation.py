@@ -79,3 +79,57 @@ class TestInStepTelemetry:
         assert "oscillation/ema_mean" in m2
         one = next(iter(s2.extra["oscillation"].values()))
         assert int(one.iters) == 2
+
+
+class TestFreezePinning:
+    def test_frozen_weights_stop_moving(self):
+        """With a freeze threshold, weights whose integer image oscillates
+        get pinned (apply_frozen) while the rest keep training."""
+        from ofq_tpu.train.oscillation_hook import (
+            apply_frozen,
+            init_oscillation_states,
+            update_oscillation_states,
+        )
+        from ofq_tpu.quant.oscillation import OscillationState
+
+        pol = policy_from_args(wq_bitw=2, aq_bitw=2,
+                               qmodules=default_deit_qmodules(2))
+        model = VisionTransformer(cfg=TINY, policy=pol)
+        x = jnp.zeros((2, 32, 32, 3))
+        params = model.init({"params": jax.random.key(0)}, x)["params"]
+        states = init_oscillation_states(params, bits=2)
+        # force one kernel fully frozen
+        name = "blocks_0/mlp/fc1/kernel"
+        st = states[name]
+        states[name] = st._replace(frozen=jnp.ones_like(st.frozen, bool))
+        moved = jax.tree.map(lambda v: v + 1.0, params)
+        pinned = apply_frozen(params, moved, states)
+        np.testing.assert_allclose(
+            np.asarray(pinned["blocks_0"]["mlp"]["fc1"]["kernel"]),
+            np.asarray(params["blocks_0"]["mlp"]["fc1"]["kernel"]))
+        # untracked / unfrozen leaves still move
+        np.testing.assert_allclose(
+            np.asarray(pinned["blocks_0"]["mlp"]["fc2"]["kernel"]),
+            np.asarray(moved["blocks_0"]["mlp"]["fc2"]["kernel"]))
+
+    def test_train_step_pins_with_threshold(self):
+        from ofq_tpu.train.oscillation_hook import init_oscillation_states
+
+        pol = policy_from_args(wq_bitw=2, aq_bitw=2,
+                               qmodules=default_deit_qmodules(2))
+        model = VisionTransformer(cfg=TINY, policy=pol)
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 32, 32, 3)),
+                        jnp.float32)
+        params = model.init({"params": jax.random.key(0)}, x)
+        tx = make_optimizer(lambda _: 5e-2)
+        osc = init_oscillation_states(params["params"], bits=2)
+        state = TrainState.create(params, tx, extra={"oscillation": osc})
+        step = jax.jit(make_train_step(
+            model, tx, loss_kind="ce",
+            oscillation=dict(bits=2, momentum=0.5, freeze_threshold=0.4)))
+        batch = {"image": x, "label": jnp.asarray([1, 2])}
+        for i in range(6):
+            state, m = step(state, batch, jax.random.key(i))
+        # telemetry present and step ran with pinning enabled
+        assert "oscillation/ema_mean" in m
+        assert bool(jnp.isfinite(m["loss"]))
