@@ -333,3 +333,113 @@ def _set_by_path(tree, path, value):
     for k in path[:-1]:
         node = node[getattr(k, "key")]
     node[getattr(path[-1], "key")] = value
+
+
+def np_swin_attention(x_bhwc, P, H, window, shift, bits):
+    """Quantized shifted-window attention transcribed from
+    swin_attention_and_mlp.py:143-251 (torch conventions)."""
+    B, Hh, Ww, C = x_bhwc.shape
+    d = C // H
+    pad_r = (window - Ww % window) % window
+    pad_b = (window - Hh % window) % window
+    x = np.pad(x_bhwc, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+    pH, pW = Hh + pad_b, Ww + pad_r
+    if window >= pH or window >= pW:
+        shift = 0
+    if shift > 0:
+        x = np.roll(x, (-shift, -shift), axis=(1, 2))
+    nW = (pH // window) * (pW // window)
+    xw = x.reshape(B, pH // window, window, pW // window, window, C)
+    xw = xw.transpose(0, 1, 3, 2, 4, 5).reshape(B * nW, window * window, C)
+    n = window * window
+
+    qkv = np_qlinear(xw, P["qkv"], bits) + P["move_qkv_b4"]
+    qkv = qkv.reshape(B * nW, n, 3, H, d).transpose(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    q = np_lsq(q, P["s_q"], bits, False, axis=-2)
+    k = np_lsq(k, P["s_k"], bits, False, axis=-2)
+    v = v.transpose(0, 2, 1, 3).reshape(B * nW, n, C)
+    v = np_lsq(v, P["s_v"], bits, False, axis=-1)
+    q = q.transpose(0, 2, 1, 3).reshape(B * nW, n, C) + P["move_q_aft"]
+    k = k.transpose(0, 2, 1, 3).reshape(B * nW, n, C) + P["move_k_aft"]
+    v = v + P["move_v_aft"]
+    q = q.reshape(B * nW, n, H, d).transpose(0, 2, 1, 3)
+    k = k.reshape(B * nW, n, H, d).transpose(0, 2, 1, 3)
+    v = v.reshape(B * nW, n, H, d).transpose(0, 2, 1, 3)
+
+    attn = q @ k.transpose(0, 1, 3, 2) * (d ** -0.5)
+    # relative position bias
+    wh = ww = window
+    coords = np.stack(np.meshgrid(np.arange(wh), np.arange(ww), indexing="ij"))
+    flat = coords.reshape(2, -1)
+    rel = (flat[:, :, None] - flat[:, None, :]).transpose(1, 2, 0)
+    rel[:, :, 0] += wh - 1
+    rel[:, :, 1] += ww - 1
+    rel[:, :, 0] *= 2 * ww - 1
+    idx = rel.sum(-1).reshape(-1)
+    bias = P["rel_bias_table"][idx].reshape(n, n, H).transpose(2, 0, 1)
+    attn = attn + bias[None]
+    if shift > 0:
+        img = np.zeros((pH, pW), np.float32)
+        cnt = 0
+        for hs in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
+            for ws in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
+                img[hs, ws] = cnt
+                cnt += 1
+        img = img.reshape(pH // window, window, pW // window, window)
+        img = img.transpose(0, 2, 1, 3).reshape(nW, n)
+        diff = img[:, None, :] - img[:, :, None]
+        mask = np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+        attn = attn.reshape(B, nW, H, n, n) + mask[None, :, None]
+        attn = attn.reshape(B * nW, H, n, n)
+    attn = np.exp(attn - attn.max(-1, keepdims=True))
+    attn = attn / attn.sum(-1, keepdims=True)
+    attn = np_lsq(attn, P["s_softmax"], bits, True, axis=-2)
+    out = (attn @ v).transpose(0, 2, 1, 3).reshape(B * nW, n, C)
+    out = np_qlinear(out, P["proj"], bits)
+    out = out.reshape(B, pH // window, pW // window, window, window, C)
+    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(B, pH, pW, C)
+    if shift > 0:
+        out = np.roll(out, (shift, shift), axis=(1, 2))
+    return out[:, :Hh, :Ww]
+
+
+class TestSwinAttentionParity:
+    @pytest.mark.parametrize("shift", [0, 2])
+    def test_quantized_window_attention_matches_numpy(self, shift):
+        from ofq_tpu.models.swin import QSwinAttention
+
+        rng = np.random.default_rng(6)
+        B, Hh, Ww, C, H, window = 2, 8, 8, 12, 3, 4
+        x = rng.normal(size=(B, Hh, Ww, C)).astype(np.float32)
+        m = QSwinAttention(dim=C, num_heads=H, window_size=window,
+                           shift_size=shift, weight_bits=BITS,
+                           input_bits=BITS)
+        v = m.init({"params": jax.random.key(3)}, jnp.asarray(x))
+        p = jax.tree.map(np.asarray, v["params"])
+        for mv in ("move_qkv_b4", "move_q_aft", "move_k_aft", "move_v_aft"):
+            p[mv]["bias"] = rng.normal(
+                size=p[mv]["bias"].shape).astype(np.float32) * 0.02
+        ours, _ = m.apply({"params": jax.tree.map(jnp.asarray, p)},
+                          jnp.asarray(x))
+
+        def ql(mm):
+            return {"weight": _np64(mm["kernel"]).T, "bias": _np64(mm["bias"]),
+                    "move_b4": _np64(mm["move_b4"]["bias"]),
+                    "move_aft": _np64(mm["move_aft"]["bias"]),
+                    "s": _np64(mm["input_quant"]["s"])}
+
+        P = {
+            "qkv": ql(p["qkv"]), "proj": ql(p["proj"]),
+            "move_qkv_b4": _np64(p["move_qkv_b4"]["bias"]),
+            "move_q_aft": _np64(p["move_q_aft"]["bias"]),
+            "move_k_aft": _np64(p["move_k_aft"]["bias"]),
+            "move_v_aft": _np64(p["move_v_aft"]["bias"]),
+            "s_q": _np64(p["quan_q"]["s"]), "s_k": _np64(p["quan_k"]["s"]),
+            "s_v": _np64(p["quan_v"]["s"]),
+            "s_softmax": _np64(p["quan_softmax"]["s"]),
+            "rel_bias_table": _np64(p["relative_position_bias_table"]),
+        }
+        want = np_swin_attention(_np64(x), P, H, window, shift, BITS)
+        np.testing.assert_allclose(np.asarray(ours), want,
+                                   rtol=5e-3, atol=5e-4)
