@@ -1,0 +1,82 @@
+"""Runner-level E2E tests: fit -> auto-resume -> evaluate_only -> serve.
+
+These run the same code paths as the CLIs (synthetic data, tiny model) so
+CLI regressions surface in pytest instead of manual smoke runs.
+"""
+
+import numpy as np
+import pytest
+
+from ofq_tpu.cli.common import parse_args
+from ofq_tpu.cli.runner import Runner, build_model, select_loss_kind
+
+
+def make_args(tmp_path, extra=()):
+    argv = [
+        "synthetic",
+        "--model", "deit_tiny_distilled_patch16_224",
+        "--img-size", "32", "--num-classes", "10", "--batch-size", "8",
+        "--epochs", "2", "--warmup-epochs", "0", "--cooldown-epochs", "0",
+        "--steps-per-epoch", "2",
+        "--wq-enable", "--wq-bitw", "2", "--aq-enable", "--aq-bitw", "2",
+        "--quantized", "--mixup", "0.0", "--cutmix", "0.0",
+        "--output", str(tmp_path), "--experiment", "t",
+        *extra,
+    ]
+    return parse_args(argv)
+
+
+class TestSelectLoss:
+    def test_kinds(self, tmp_path):
+        a = make_args(tmp_path)
+        assert select_loss_kind(a) == "ce"
+        a.use_kd = True
+        a.kd_hard_and_soft = 1
+        assert select_loss_kind(a) == "kd_soft_hard"
+        a.kd_hard_and_soft = 3
+        assert select_loss_kind(a) == "kd_qkv"
+        a.use_token_kd = True
+        assert select_loss_kind(a) == "kd_token"
+
+
+class TestFitResumeEvalServe:
+    def test_full_cycle(self, tmp_path):
+        args = make_args(tmp_path)
+        best = Runner(args, cga_mode=False).fit()
+        assert 0 <= best["top1"] <= 100
+
+        # auto-resume: a fresh runner continues past the saved epochs
+        args2 = make_args(tmp_path)
+        args2.epochs = 3
+        best2 = Runner(args2, cga_mode=False).fit()
+        import csv
+
+        with open(tmp_path / "t" / "summary.csv") as f:
+            epochs = [row[0] for row in csv.reader(f)][1:]
+        assert epochs == ["0", "1", "2"]
+
+        # standalone eval from the experiment dir
+        args3 = make_args(tmp_path)
+        args3.resume = str(tmp_path / "t")
+        metrics = Runner(args3, cga_mode=False).evaluate_only()
+        assert 0 <= metrics["top1"] <= 100
+
+        # serving from the same experiment
+        from ofq_tpu.serve import Predictor
+
+        p = Predictor.from_experiment(str(tmp_path / "t"), batch_size=4)
+        probs = p.predict(np.zeros((3, 32, 32, 3), np.float32))
+        assert probs.shape == (3, 10)
+        np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-4)
+
+    def test_cga_fixed_window_from_phase1(self, tmp_path):
+        args = make_args(tmp_path)
+        Runner(args, cga_mode=False).fit()
+
+        cga_args = make_args(tmp_path, extra=(
+            "--qk_reparam", "--qk_reparam_type", "1",
+            "--boundaryRange", "0.005", "--freeze_for_n_epochs", "1"))
+        cga_args.initial_checkpoint = str(tmp_path / "t")
+        cga_args.experiment = "cga"
+        best = Runner(cga_args, cga_mode=True).fit()
+        assert best["epoch"] == 0  # exactly one CGA epoch ran
