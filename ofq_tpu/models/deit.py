@@ -270,6 +270,9 @@ def deit_model(variant: str, policy: QuantPolicy = QuantPolicy(),
         "deit_tiny_patch16_224": dataclasses.replace(DEIT_TINY, distilled=False),
         "deit_small_patch16_224": dataclasses.replace(DEIT_SMALL, distilled=False),
         "deit_base_distilled_patch16_224": DEIT_BASE,
+        # 2-block toy for CLI smokes / CI (not a reference model)
+        "deit_test_distilled": DeiTConfig(
+            img_size=32, patch_size=8, embed_dim=24, depth=2, num_heads=3),
     }[variant]
     cfg = dataclasses.replace(base, **overrides) if overrides else base
     return VisionTransformer(cfg=cfg, policy=policy)

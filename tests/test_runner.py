@@ -14,7 +14,7 @@ from ofq_tpu.cli.runner import Runner, build_model, select_loss_kind
 def make_args(tmp_path, extra=()):
     argv = [
         "synthetic",
-        "--model", "deit_tiny_distilled_patch16_224",
+        "--model", "deit_test_distilled",
         "--img-size", "32", "--num-classes", "10", "--batch-size", "8",
         "--epochs", "2", "--warmup-epochs", "0", "--cooldown-epochs", "0",
         "--steps-per-epoch", "2",
