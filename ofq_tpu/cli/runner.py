@@ -265,7 +265,13 @@ class Runner:
                 {"params": key}, xx, train=False))
             tparams = tinit(jax.random.key(0),
                             jnp.asarray(first["image"]))["params"]
-            if args.teacher_checkpoint:
+            if args.teacher_checkpoint and os.path.isdir(
+                    args.teacher_checkpoint):
+                # teacher from one of our own experiments (e.g. the FP run
+                # that warm-started the student)
+                tparams = self.restore_experiment_params(
+                    args.teacher_checkpoint, {"params": tparams})["params"]
+            elif args.teacher_checkpoint:
                 from ..convert import (
                     convert_deit, convert_swin, load_torch_state_dict,
                     merge_pretrained)
