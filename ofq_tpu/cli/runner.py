@@ -103,8 +103,10 @@ class Runner:
         # multi-host pods: each host loads its slice of the global batch
         # (distinct stream via a per-process seed) and the slices are
         # assembled into one globally-sharded array per step.
+        from ..parallel import host_batch_slice
+
         self.n_proc = jax.process_count()
-        per_host_batch = args.batch_size // max(self.n_proc, 1)
+        per_host_batch, _ = host_batch_slice(args.batch_size)
         self.data_cfg = DataConfig(
             data_dir=data_dir, img_size=args.img_size,
             batch_size=per_host_batch, num_classes=args.num_classes,
@@ -176,11 +178,19 @@ class Runner:
         if state is None:
             raise FileNotFoundError(f"no orbax checkpoints under {exp_dir}")
         loaded = jax.tree.map(np.asarray, state.params["params"])
-        if self.policy.qk_reparam and not saved_policy.qk_reparam:
-            depth = getattr(self.model.cfg, "depth", 0)
-            if depth:
-                loaded = split_qkv_for_qkr(loaded, depth)
-        merged = merge_pretrained(variables["params"], loaded)
+        # split fused qkv only when the DESTINATION tree is QKR-shaped
+        # (q_kernel present) and the loaded tree is fused — decided from
+        # structure, not from the student policy: the destination may be
+        # the float/quantized teacher or the student.
+        dest = variables["params"]
+        dest_blocks = [k for k in dest if k.startswith("blocks_")]
+        needs_split = any(
+            "q_kernel" in dest[b].get("attn", {}) and
+            "qkv" in loaded.get(b, {}).get("attn", {})
+            for b in dest_blocks)
+        if needs_split:
+            loaded = split_qkv_for_qkr(loaded, len(dest_blocks))
+        merged = merge_pretrained(dest, loaded)
         return {**variables, "params": jax.tree.map(jnp.asarray, merged)}
 
     def load_pretrained(self, params):
@@ -245,10 +255,13 @@ class Runner:
         from ..data.pipeline import num_samples
 
         train_it = make_dataset(self.data_cfg, train=True)
-        first = next(train_it)
         steps_per_epoch = args.steps_per_epoch or max(
             num_samples(self.data_cfg, train=True) // args.batch_size, 1)
 
+        # calibration must be host-invariant (identical LSQ init on every
+        # pod host): use a fixed-seed stream, not the per-process one
+        calib_cfg = dataclasses.replace(self.data_cfg, seed=args.seed)
+        first = next(iter(make_dataset(calib_cfg, train=True)))
         params = self.calibrate_init(first)
         params = self.load_pretrained(params)
         tx, lr_epoch = self.build_optimizer(steps_per_epoch)
@@ -284,6 +297,8 @@ class Runner:
 
         with jax.set_mesh(self.mesh):
             params = {"params": shard_params(params["params"], self.mesh)}
+            if tparams is not None:
+                tparams = shard_params(tparams, self.mesh)
             extra = None
             osc_cfg = None
             if getattr(args, "track_oscillation", False):
@@ -334,7 +349,7 @@ class Runner:
             summary_path = os.path.join(self.out_dir, "summary.csv")
             best = {"top1": -1.0, "epoch": -1}
             total_steps = 0
-            batch = first
+            batch = next(train_it)
             mixup_on = (args.mixup > 0 or args.cutmix > 0)
 
             for epoch in range(start_epoch, num_epochs):
@@ -438,11 +453,20 @@ class Runner:
     def evaluate(self, eval_step, params) -> dict:
         c1 = c5 = n = 0
         loss_sum = 0.0
-        for batch in make_dataset(self.data_cfg, train=False):
-            out = eval_step(params, {
-                "image": jnp.asarray(batch["image"]),
-                "label": jnp.asarray(batch["label"]),
-            })
+        # eval streams are deterministic and identical on every host; under
+        # multihost the per-host batches are assembled into global arrays
+        # (redundant n_proc-x compute, unbiased percentages).
+        eval_cfg = dataclasses.replace(self.data_cfg, seed=self.args.seed)
+        for batch in make_dataset(eval_cfg, train=False):
+            if self.n_proc > 1:
+                from ..parallel import batch_shardings, local_to_global
+
+                dev = local_to_global(
+                    batch, self.mesh, batch_shardings(self.mesh))
+            else:
+                dev = {"image": jnp.asarray(batch["image"]),
+                       "label": jnp.asarray(batch["label"])}
+            out = eval_step(params, dev)
             c1 += int(out["correct1"])
             c5 += int(out["correct5"])
             n += int(out["count"])

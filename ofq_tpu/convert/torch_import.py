@@ -215,16 +215,28 @@ def split_qkv_for_qkr(params: Dict[str, Any], depth: int) -> Dict[str, Any]:
     return params
 
 
+def _infer_num_tokens(old_len: int, new_len: int) -> int:
+    """Prefix-token count (cls / cls+dist): the p in {2, 1, 0} for which
+    both lengths minus p are perfect squares."""
+    for p in (2, 1, 0):
+        a, b = old_len - p, new_len - p
+        if a > 0 and b > 0 and int(math.isqrt(a)) ** 2 == a \
+                and int(math.isqrt(b)) ** 2 == b:
+            return p
+    raise ValueError(f"cannot infer prefix tokens for {old_len}->{new_len}")
+
+
 def resize_pos_embed(posemb: np.ndarray, new_len: int,
-                     num_tokens: int = 2) -> np.ndarray:
+                     num_tokens: int | None = None) -> np.ndarray:
     """Bicubic-resample a (1, N_old, C) position embedding grid to a new
     token count (reference: deit_vision_transformer.py:449-468).  Prefix
-    tokens (cls/dist) are carried over unscaled."""
-    import math
-
+    tokens (cls/dist) are carried over unscaled; their count is inferred
+    when not given."""
+    if num_tokens is None:
+        num_tokens = _infer_num_tokens(posemb.shape[1], new_len)
     tok, grid = posemb[:, :num_tokens], posemb[0, num_tokens:]
-    gs_old = int(math.sqrt(grid.shape[0]))
-    gs_new = int(math.sqrt(new_len - num_tokens))
+    gs_old = int(math.isqrt(grid.shape[0]))
+    gs_new = int(math.isqrt(new_len - num_tokens))
     if gs_old == gs_new:
         return posemb
     import jax
@@ -266,10 +278,17 @@ def merge_pretrained(init_params: Dict[str, Any],
                       and want[-1] == have[-1]):
                     # grid-size mismatch: bicubic-resample like the
                     # reference's resize_pos_embed (deit_vision_
-                    # transformer.py:449-468)
-                    out[k] = resize_pos_embed(
-                        np.asarray(v, np.float32), want[1]
-                    ).astype(np.float32)
+                    # transformer.py:449-468); keep the init value when the
+                    # resample cannot produce the wanted length (e.g.
+                    # distilled <-> non-distilled prefix mismatch)
+                    try:
+                        resized = resize_pos_embed(
+                            np.asarray(v, np.float32), want[1]
+                        ).astype(np.float32)
+                        if resized.shape == want:
+                            out[k] = resized
+                    except ValueError:
+                        pass
         return out
 
     return overlay(init_params, loaded)

@@ -72,8 +72,10 @@ def _invert(img):
 
 
 def _posterize(img, mag):
-    # timm PosterizeIncreasing: keep 4 - int(m/10*4) bits (1 bit at m=9)
-    bits_kept = tf.cast(4.0 - (mag / _MAX_LEVEL) * 4.0, tf.int32)
+    # timm PosterizeIncreasing: keep 4 - int(m/10*4) bits (1 bit at m=9).
+    # NB: the int() truncation applies to m/10*4, NOT to the difference —
+    # truncating the difference would keep 0 bits and black the image out.
+    bits_kept = 4 - tf.cast((mag / _MAX_LEVEL) * 4.0, tf.int32)
     shift = tf.clip_by_value(8 - bits_kept, 0, 8)
     return tf.bitwise.left_shift(
         tf.bitwise.right_shift(tf.cast(img, tf.int32), shift), shift)

@@ -39,7 +39,11 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
                      jax.process_index(), jax.process_count(),
                      jax.local_device_count(), jax.device_count())
     except Exception as e:  # single-host dev boxes
-        _logger.debug("multihost init skipped: %s", e)
+        if jax.process_count() > 1 or num_processes not in (None, 1):
+            _logger.warning("multihost init FAILED (%s); continuing as "
+                            "independent single-host processes", e)
+        else:
+            _logger.debug("multihost init skipped: %s", e)
 
 
 def host_batch_slice(global_batch: int) -> tuple[int, int]:

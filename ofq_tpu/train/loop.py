@@ -131,6 +131,7 @@ def make_train_step(
             if oscillation.get("freeze_threshold", 0.0) > 0:
                 new_params = apply_frozen(
                     state.params["params"], new_params, osc_states,
+                    bits=oscillation["bits"],
                     qk_reparam=oscillation.get("qk_reparam", False),
                     model_type=oscillation.get("model_type", "deit"))
 

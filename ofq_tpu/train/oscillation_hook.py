@@ -79,11 +79,16 @@ def update_oscillation_states(
 
 
 def apply_frozen(old_params, new_params, states: Dict[str, OscillationState],
-                 *, qk_reparam: bool = False, model_type: str = "deit"):
-    """Pin weights whose integer image is frozen: keep the pre-update real
-    value so the quantized integer stops moving (the oscillation-freezing
-    counterpart of TrackOscillation's in-forward substitution,
-    lsq.py:140-141, applied at the optimizer boundary)."""
+                 *, bits: int, qk_reparam: bool = False,
+                 model_type: str = "deit"):
+    """Pin frozen weights to the dequantized value of their FROZEN integer
+    (round(ema_x_int)) — the optimizer-boundary counterpart of
+    TrackOscillation's in-forward substitution (lsq.py:140-141): the real
+    weight is set to the fixed point s*((x_int_frozen + 0.5)/n) so its
+    StatsQ image equals the tracked frozen integer (up to scale drift from
+    the still-training neighbors, which the reference shares)."""
+    del old_params
+    n = float(2 ** (bits - 1))
 
     def rebuild(path, new_leaf):
         if not is_cga_kernel(path, qk_reparam=qk_reparam,
@@ -93,9 +98,8 @@ def apply_frozen(old_params, new_params, states: Dict[str, OscillationState],
         st = states.get(name)
         if st is None:
             return new_leaf
-        old_leaf = old_params
-        for p in path:
-            old_leaf = old_leaf[getattr(p, "key")]
-        return jnp.where(st.frozen, old_leaf, new_leaf)
+        s = statsq_scale(new_leaf)
+        pinned = s * ((st.frozen_x_int + 0.5) / n)
+        return jnp.where(st.frozen, pinned, new_leaf)
 
     return jax.tree_util.tree_map_with_path(rebuild, new_params)

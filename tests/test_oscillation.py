@@ -98,15 +98,21 @@ class TestFreezePinning:
         x = jnp.zeros((2, 32, 32, 3))
         params = model.init({"params": jax.random.key(0)}, x)["params"]
         states = init_oscillation_states(params, bits=2)
-        # force one kernel fully frozen
+        # force one kernel fully frozen at its tracked integer image
         name = "blocks_0/mlp/fc1/kernel"
         st = states[name]
-        states[name] = st._replace(frozen=jnp.ones_like(st.frozen, bool))
+        states[name] = st._replace(
+            frozen=jnp.ones_like(st.frozen, bool),
+            frozen_x_int=st.prev_x_int)
         moved = jax.tree.map(lambda v: v + 1.0, params)
-        pinned = apply_frozen(params, moved, states)
+        pinned = apply_frozen(params, moved, states, bits=2)
+        # the pinned kernel's StatsQ integer image equals the frozen ints
+        from ofq_tpu.train.oscillation_hook import weight_int_image
+
         np.testing.assert_allclose(
-            np.asarray(pinned["blocks_0"]["mlp"]["fc1"]["kernel"]),
-            np.asarray(params["blocks_0"]["mlp"]["fc1"]["kernel"]))
+            np.asarray(weight_int_image(
+                pinned["blocks_0"]["mlp"]["fc1"]["kernel"], 2)),
+            np.asarray(states[name].frozen_x_int))
         # untracked / unfrozen leaves still move
         np.testing.assert_allclose(
             np.asarray(pinned["blocks_0"]["mlp"]["fc2"]["kernel"]),
