@@ -183,13 +183,15 @@ class Runner:
         # structure, not from the student policy: the destination may be
         # the float/quantized teacher or the student.
         dest = variables["params"]
-        dest_blocks = [k for k in dest if k.startswith("blocks_")]
+        common_blocks = [
+            k for k in dest
+            if k.startswith("blocks_") and k in loaded]
         needs_split = any(
             "q_kernel" in dest[b].get("attn", {}) and
-            "qkv" in loaded.get(b, {}).get("attn", {})
-            for b in dest_blocks)
+            "qkv" in loaded[b].get("attn", {})
+            for b in common_blocks)
         if needs_split:
-            loaded = split_qkv_for_qkr(loaded, len(dest_blocks))
+            loaded = split_qkv_for_qkr(loaded, len(common_blocks))
         merged = merge_pretrained(dest, loaded)
         return {**variables, "params": jax.tree.map(jnp.asarray, merged)}
 
