@@ -18,7 +18,8 @@ from .runner import Runner
 def main(argv=None):
     logging.basicConfig(
         level=logging.INFO,
-        format="%(asctime)s %(name)s %(levelname)s: %(message)s")
+        format="%(asctime)s %(name)s %(levelname)s: %(message)s",
+        force=True)  # absl/tf grab the root logger before us
     from ..parallel import initialize_multihost
 
     initialize_multihost()  # no-op off-pod; must precede any backend use

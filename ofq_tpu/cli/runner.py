@@ -387,10 +387,14 @@ class Runner:
                     if it % args.log_interval == 0:
                         loss = float(metrics["loss"])
                         losses.append(loss)
+                        osc = ""
+                        if "oscillation/ema_mean" in metrics:
+                            osc = " osc_ema %.5f" % float(
+                                metrics["oscillation/ema_mean"])
                         _logger.info(
-                            "epoch %d step %d/%d loss %.4f lr %.3e",
+                            "epoch %d step %d/%d loss %.4f lr %.3e%s",
                             epoch, it, steps_per_epoch, loss,
-                            float(lr_epoch(epoch)))
+                            float(lr_epoch(epoch)), osc)
                     if (args.recovery_interval
                             and total_steps % args.recovery_interval == 0):
                         # in-epoch crash-recovery snapshot, step-indexed and
