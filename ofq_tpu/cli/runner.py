@@ -107,13 +107,18 @@ class Runner:
 
         self.n_proc = jax.process_count()
         per_host_batch, _ = host_batch_slice(args.batch_size)
+        # common seed + disjoint per-host file shards (DistributedSampler
+        # semantics): a global batch assembled across hosts is duplicate-free
+        # and an epoch partitions the dataset.  Augmentation draws are
+        # unseeded tf ops, so they differ per host regardless.
         self.data_cfg = DataConfig(
             data_dir=data_dir, img_size=args.img_size,
             batch_size=per_host_batch, num_classes=args.num_classes,
             crop_pct=args.crop_pct, aa=args.aa or None, reprob=args.reprob,
-            seed=args.seed + jax.process_index(),
+            seed=args.seed,
             num_aug_repeats=args.num_aug_repeats,
             synthetic_length=per_host_batch * (args.steps_per_epoch or 4),
+            shard_index=jax.process_index(), shard_count=self.n_proc,
         )
 
     # ------------------------------------------------------------ setup
@@ -261,8 +266,9 @@ class Runner:
             num_samples(self.data_cfg, train=True) // args.batch_size, 1)
 
         # calibration must be host-invariant (identical LSQ init on every
-        # pod host): use a fixed-seed stream, not the per-process one
-        calib_cfg = dataclasses.replace(self.data_cfg, seed=args.seed)
+        # pod host): fixed seed, no sharding
+        calib_cfg = dataclasses.replace(
+            self.data_cfg, seed=args.seed, shard_index=0, shard_count=1)
         first = next(iter(make_dataset(calib_cfg, train=True)))
         params = self.calibrate_init(first)
         params = self.load_pretrained(params)
@@ -457,11 +463,12 @@ class Runner:
 
     # ------------------------------------------------------------ eval
     def evaluate(self, eval_step, params) -> dict:
-        c1 = c5 = n = 0
-        loss_sum = 0.0
-        # eval streams are deterministic and identical on every host; under
-        # multihost the per-host batches are assembled into global arrays
-        # (redundant n_proc-x compute, unbiased percentages).
+        # the validation set is partitioned across hosts (disjoint shards,
+        # label=-1 padding equalizes stream lengths); per-batch counts are
+        # already global under the assembled sharded arrays.  Counts
+        # accumulate ON DEVICE — a single host fetch per epoch, not four
+        # per batch (each fetch is a full sync; ruinous over slow links).
+        totals = None
         eval_cfg = dataclasses.replace(self.data_cfg, seed=self.args.seed)
         for batch in make_dataset(eval_cfg, train=False):
             if self.n_proc > 1:
@@ -473,13 +480,15 @@ class Runner:
                 dev = {"image": jnp.asarray(batch["image"]),
                        "label": jnp.asarray(batch["label"])}
             out = eval_step(params, dev)
-            c1 += int(out["correct1"])
-            c5 += int(out["correct5"])
-            n += int(out["count"])
-            loss_sum += float(out["loss_sum"])
-        return {"top1": 100.0 * c1 / max(n, 1),
-                "top5": 100.0 * c5 / max(n, 1),
-                "loss": loss_sum / max(n, 1)}
+            totals = out if totals is None else jax.tree.map(
+                jnp.add, totals, out)
+        if totals is None:
+            return {"top1": 0.0, "top5": 0.0, "loss": float("nan")}
+        totals = jax.tree.map(float, totals)
+        n = max(totals["count"], 1.0)
+        return {"top1": 100.0 * totals["correct1"] / n,
+                "top5": 100.0 * totals["correct5"] / n,
+                "loss": totals["loss_sum"] / n}
 
     def evaluate_only(self) -> dict:
         """eval.py analog: build, load checkpoint, validate.
@@ -488,7 +497,9 @@ class Runner:
         of a param tree, or an ofq_tpu experiment directory (orbax best
         checkpoint)."""
         args = self.args
-        first = next(iter(make_dataset(self.data_cfg, train=False)))
+        calib_cfg = dataclasses.replace(
+            self.data_cfg, shard_index=0, shard_count=1)
+        first = next(iter(make_dataset(calib_cfg, train=False)))
         params = self.calibrate_init(first)
         if args.resume and os.path.isdir(args.resume):
             params = self.restore_experiment_params(args.resume, params)

@@ -125,18 +125,40 @@ def _sharpness(img, mag):
     return _blend(smooth, img, _enhance_factor(mag))
 
 
+# timm/PIL affine ops fill vacated pixels with fillcolor=(128,128,128);
+# out-of-range source indices map to this constant instead of wrapping.
+_FILL = 128
+
+
+def _gather_cols(img, shifts):
+    """new[r, c] = img[r, c - shifts[r]], constant-fill out of range."""
+    w = tf.shape(img)[1]
+    raw = tf.range(w)[None, :] - shifts[:, None]
+    valid = (raw >= 0) & (raw < w)
+    idx = tf.clip_by_value(raw, 0, w - 1)
+    out = tf.gather(img, idx, axis=1, batch_dims=1)
+    return tf.where(valid[:, :, None], out, tf.cast(_FILL, img.dtype))
+
+
+def _gather_rows(img, shifts):
+    t = tf.transpose(img, [1, 0, 2])
+    return tf.transpose(_gather_cols(t, shifts), [1, 0, 2])
+
+
 def _translate(img, mag, horizontal):
     frac = (mag / _MAX_LEVEL) * 0.45
     sign = tf.where(tf.random.uniform([]) < 0.5, -1.0, 1.0)
-    size = tf.cast(tf.shape(img)[1] if horizontal else tf.shape(img)[0], tf.float32)
+    h = tf.shape(img)[0]
+    w = tf.shape(img)[1]
+    size = tf.cast(w if horizontal else h, tf.float32)
     pix = tf.cast(sign * frac * size, tf.int32)
     if horizontal:
-        return tf.roll(img, pix, axis=1)
-    return tf.roll(img, pix, axis=0)
+        return _gather_cols(img, tf.fill([h], pix))
+    return _gather_rows(img, tf.fill([w], pix))
 
 
 def _shear(img, mag, horizontal):
-    # approximate shear via per-row/col roll (keeps everything tf-native)
+    # shear via per-row/col shifted gather (keeps everything tf-native)
     frac = (mag / _MAX_LEVEL) * 0.3
     sign = tf.where(tf.random.uniform([]) < 0.5, -1.0, 1.0)
     h = tf.shape(img)[0]
@@ -144,13 +166,9 @@ def _shear(img, mag, horizontal):
     if horizontal:
         shifts = tf.cast(
             sign * frac * tf.cast(tf.range(h), tf.float32), tf.int32)
-        idx = (tf.range(w)[None, :] - shifts[:, None]) % w
-        return tf.gather(img, idx, axis=1, batch_dims=1)
+        return _gather_cols(img, shifts)
     shifts = tf.cast(sign * frac * tf.cast(tf.range(w), tf.float32), tf.int32)
-    idx = (tf.range(h)[:, None] - shifts[None, :]) % h
-    return tf.transpose(
-        tf.gather(tf.transpose(img, [1, 0, 2]), tf.transpose(idx), axis=1,
-                  batch_dims=1), [1, 0, 2])
+    return _gather_rows(img, shifts)
 
 
 def _rotate(img, mag):
@@ -171,14 +189,10 @@ def _shear_by(img, factor, horizontal):
     if horizontal:
         shifts = tf.cast(factor * tf.cast(tf.range(h) - h // 2, tf.float32),
                          tf.int32)
-        idx = (tf.range(w)[None, :] - shifts[:, None]) % w
-        return tf.gather(img, idx, axis=1, batch_dims=1)
+        return _gather_cols(img, shifts)
     shifts = tf.cast(factor * tf.cast(tf.range(w) - w // 2, tf.float32),
                      tf.int32)
-    idx = (tf.range(h)[:, None] - shifts[None, :]) % h
-    return tf.transpose(
-        tf.gather(tf.transpose(img, [1, 0, 2]), tf.transpose(idx), axis=1,
-                  batch_dims=1), [1, 0, 2])
+    return _gather_rows(img, shifts)
 
 
 def rand_augment(img: tf.Tensor, num_ops: int = 2, magnitude: float = 9.0,
@@ -205,8 +219,14 @@ def rand_augment(img: tf.Tensor, num_ops: int = 2, magnitude: float = 9.0,
         mag = _randomize_mag(magnitude, mag_std)
         op_idx = tf.random.uniform([], 0, len(ops), tf.int32)
         cur = img
-        img = tf.switch_case(
-            op_idx, [(lambda op=op, im=cur, m=mag: op(im, m)) for op in ops])
+        # timm creates every AugmentOp with prob=0.5: each chosen op is a
+        # coin-flip no-op, halving effective augmentation strength.
+        img = tf.cond(
+            tf.random.uniform([]) < 0.5,
+            lambda: tf.switch_case(
+                op_idx,
+                [(lambda op=op, im=cur, m=mag: op(im, m)) for op in ops]),
+            lambda: cur)
     return img
 
 

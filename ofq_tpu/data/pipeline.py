@@ -49,6 +49,13 @@ class DataConfig:
     # image appears `num_aug_repeats` times per pass, each copy drawing
     # independent augmentations.
     num_aug_repeats: int = 0
+    # multi-host: disjoint per-host file partition (DistributedSampler
+    # semantics, reference train.py:625) — a common-seed permutation of the
+    # listing strided by host, so an assembled global batch is duplicate-free
+    # and an epoch covers each sample exactly once.  Eval shards are padded
+    # to equal length with label=-1 sentinels (masked out by the eval step).
+    shard_index: int = 0
+    shard_count: int = 1
 
 
 def _parse_rand_augment(aa: str) -> tuple[int, float, float]:
@@ -66,7 +73,8 @@ def _parse_rand_augment(aa: str) -> tuple[int, float, float]:
 
 def synthetic_batches(cfg: DataConfig, *, train: bool) -> Iterator[dict]:
     """Deterministic synthetic data stream (normalized stats)."""
-    rng = np.random.default_rng(cfg.seed + (0 if train else 1))
+    rng = np.random.default_rng(
+        cfg.seed + 10007 * cfg.shard_index + (0 if train else 1))
     steps = max(cfg.synthetic_length // cfg.batch_size, 1)
     for _ in range(steps):
         yield {
@@ -138,6 +146,19 @@ def make_dataset(cfg: DataConfig, *, train: bool):
 
     files, labels, _ = _list_imagefolder(
         cfg.data_dir, "train" if train else "validation")
+    if cfg.shard_count > 1:
+        order = np.random.default_rng(cfg.seed).permutation(len(files))
+        if not train:
+            # equal per-host stream lengths keep the assembled global arrays
+            # rectangular; padding entries carry label -1 (eval masks them)
+            pad = (-len(order)) % cfg.shard_count
+            files = [files[i] for i in order] + [files[order[0]]] * pad
+            labels = [labels[i] for i in order] + [-1] * pad
+        else:
+            files = [files[i] for i in order]
+            labels = [labels[i] for i in order]
+        files = files[cfg.shard_index::cfg.shard_count]
+        labels = labels[cfg.shard_index::cfg.shard_count]
     ds = tf.data.Dataset.from_tensor_slices((files, labels))
     if train:
         ds = ds.shuffle(min(len(files), cfg.shuffle_buffer),
@@ -152,20 +173,56 @@ def make_dataset(cfg: DataConfig, *, train: bool):
     std = tf.constant(cfg.std, tf.float32) * 255.0
     size = cfg.img_size
 
+    log_ratio = (math.log(3 / 4), math.log(4 / 3))
+
+    def rrc_params(h, w):
+        """torchvision RandomResizedCrop.get_params: up to 10 proposal
+        draws accepted when the crop fits, else aspect-clamped center crop;
+        offsets sampled inclusively (randint(0, dim - crop + 1))."""
+        area = tf.cast(h * w, tf.float32)
+
+        def body(i, ok, t, l, c_h, c_w):
+            target = tf.random.uniform([], cfg.scale[0], cfg.scale[1]) * area
+            ar = tf.exp(tf.random.uniform([], *log_ratio))
+            nw = tf.cast(tf.round(tf.sqrt(target * ar)), tf.int32)
+            nh = tf.cast(tf.round(tf.sqrt(target / ar)), tf.int32)
+            valid = (nh > 0) & (nw > 0) & (nh <= h) & (nw <= w)
+            nt = tf.cond(
+                valid,
+                lambda: tf.random.uniform([], 0, h - nh + 1, tf.int32),
+                lambda: t)
+            nl = tf.cond(
+                valid,
+                lambda: tf.random.uniform([], 0, w - nw + 1, tf.int32),
+                lambda: l)
+            return (i + 1, ok | valid, nt, nl,
+                    tf.where(valid, nh, c_h), tf.where(valid, nw, c_w))
+
+        _, ok, t, l, c_h, c_w = tf.while_loop(
+            lambda i, ok, *_: (i < 10) & tf.logical_not(ok), body,
+            (tf.constant(0), tf.constant(False),
+             tf.constant(0), tf.constant(0), tf.constant(0), tf.constant(0)))
+
+        def fallback():
+            in_ratio = tf.cast(w, tf.float32) / tf.cast(h, tf.float32)
+            fw, fh = tf.cond(
+                in_ratio < 3 / 4,
+                lambda: (w, tf.cast(
+                    tf.round(tf.cast(w, tf.float32) / (3 / 4)), tf.int32)),
+                lambda: tf.cond(
+                    in_ratio > 4 / 3,
+                    lambda: (tf.cast(
+                        tf.round(tf.cast(h, tf.float32) * (4 / 3)), tf.int32),
+                        h),
+                    lambda: (w, h)))
+            return (h - fh) // 2, (w - fw) // 2, fh, fw
+
+        return tf.cond(ok, lambda: (t, l, c_h, c_w), fallback)
+
     def load_train(path, label):
         img = tf.io.decode_jpeg(tf.io.read_file(path), channels=3)
-        # RandomResizedCrop
         shape = tf.shape(img)
-        area = tf.cast(shape[0] * shape[1], tf.float32)
-        target = tf.random.uniform([], cfg.scale[0], cfg.scale[1]) * area
-        log_ratio = (math.log(3 / 4), math.log(4 / 3))
-        ar = tf.exp(tf.random.uniform([], *log_ratio))
-        ch = tf.cast(tf.round(tf.sqrt(target / ar)), tf.int32)
-        cw = tf.cast(tf.round(tf.sqrt(target * ar)), tf.int32)
-        ch = tf.minimum(ch, shape[0])
-        cw = tf.minimum(cw, shape[1])
-        top = tf.random.uniform([], 0, tf.maximum(shape[0] - ch, 1), tf.int32)
-        left = tf.random.uniform([], 0, tf.maximum(shape[1] - cw, 1), tf.int32)
+        top, left, ch, cw = rrc_params(shape[0], shape[1])
         img = img[top:top + ch, left:left + cw]
         # 'random' train interpolation: bicubic or bilinear per-sample
         method = tf.random.uniform([], 0, 2, tf.int32)

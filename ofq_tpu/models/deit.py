@@ -235,8 +235,12 @@ class VisionTransformer(nn.Module):
         def head_module(path: str, name: str):
             if pol.quantizes(path):
                 return QHeadLinear(cfg.num_classes, name=name)
+            # reference _init_weights applies trunc_normal_(std=.02) to every
+            # nn.Linear including head/head_dist (deit_vision_transformer.py)
             return nn.Dense(
-                cfg.num_classes, kernel_init=nn.initializers.zeros, name=name)
+                cfg.num_classes,
+                kernel_init=nn.initializers.truncated_normal(0.02),
+                name=name)
 
         if not cfg.qqkkvv:
             attn_infos = None

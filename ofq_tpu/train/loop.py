@@ -162,13 +162,19 @@ def make_eval_step(model) -> Callable:
         k = min(5, logits.shape[-1])
         top5 = jax.lax.top_k(logits, k)[1]
         label = batch["label"][:, None]
-        correct1 = jnp.sum(top5[:, :1] == label)
-        correct5 = jnp.sum(top5 == label)
+        # label -1 marks multi-host eval padding (pipeline shard equalizer);
+        # such rows contribute to no count
+        valid = batch["label"] >= 0
+        correct1 = jnp.sum((top5[:, :1] == label) & valid[:, None])
+        correct5 = jnp.sum((top5 == label) & valid[:, None])
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32))
+        nll = -jnp.take_along_axis(
+            logp, jnp.clip(label, 0, None), axis=-1)[:, 0]
         return {
             "correct1": correct1,
             "correct5": correct5,
-            "count": jnp.asarray(batch["label"].shape[0], jnp.int32),
-            "loss_sum": hard_ce(logits, batch["label"]) * batch["label"].shape[0],
+            "count": jnp.sum(valid.astype(jnp.int32)),
+            "loss_sum": jnp.sum(nll * valid),
         }
 
     return eval_step

@@ -134,3 +134,82 @@ class TestMixupSingleAlpha:
                                    num_classes=4, label_smoothing=0.0)
                 assert bool(jnp.isfinite(out["image"]).all()), (ma, ca, i)
                 assert bool(jnp.isfinite(out["soft_label"]).all()), (ma, ca, i)
+
+
+class TestHostSharding:
+    def test_train_shards_disjoint_and_cover(self, fake_imagefolder):
+        from ofq_tpu.data.pipeline import _list_imagefolder
+
+        files, _, _ = _list_imagefolder(fake_imagefolder, "train")
+        seen = []
+        for idx in range(3):
+            cfg = DataConfig(data_dir=fake_imagefolder, img_size=32,
+                             batch_size=2, num_classes=2, aa=None, reprob=0.0,
+                             shard_index=idx, shard_count=3, shuffle_buffer=1)
+            # peek at the sharded file list via the same partition logic
+            order = np.random.default_rng(cfg.seed).permutation(len(files))
+            shard = [files[i] for i in order][idx::3]
+            seen.extend(shard)
+        assert sorted(seen) == sorted(files)  # disjoint + complete
+
+    def test_eval_shards_pad_with_sentinel(self, fake_imagefolder):
+        # 6 val images over 4 hosts -> padded to 8, two label=-1 sentinels
+        batches = {}
+        for idx in range(4):
+            cfg = DataConfig(data_dir=fake_imagefolder, img_size=32,
+                             batch_size=2, num_classes=2,
+                             shard_index=idx, shard_count=4)
+            batches[idx] = list(make_dataset(cfg, train=False))
+        lens = {idx: sum(b["label"].shape[0] for b in bs)
+                for idx, bs in batches.items()}
+        assert set(lens.values()) == {2}  # equal per-host stream lengths
+        all_labels = np.concatenate(
+            [b["label"] for bs in batches.values() for b in bs])
+        assert (all_labels == -1).sum() == 2
+        assert (all_labels >= 0).sum() == 6
+
+    def test_eval_step_masks_sentinels(self):
+        import jax.numpy as jnp
+        from flax import linen as nn
+
+        from ofq_tpu.train import make_eval_step
+
+        class Toy(nn.Module):
+            @nn.compact
+            def __call__(self, x, train=False):
+                return nn.Dense(4)(x.reshape(x.shape[0], -1)), None
+
+        model = Toy()
+        x = jnp.ones((4, 2, 2, 3))
+        params = model.init(__import__("jax").random.key(0), x)
+        step = make_eval_step(model)
+        full = step(params, {"image": x,
+                             "label": jnp.asarray([0, 1, 2, 3])})
+        masked = step(params, {"image": x,
+                               "label": jnp.asarray([0, 1, -1, -1])})
+        assert int(masked["count"]) == 2
+        assert int(full["count"]) == 4
+        assert int(masked["correct5"]) <= 2
+
+
+class TestGeometryFill:
+    def test_translate_fills_constant(self):
+        from ofq_tpu.data.augment import _FILL, _translate
+
+        img = tf.fill((16, 16, 3), tf.constant(200, tf.uint8))
+        out = _translate(img, 10.0, True)  # max magnitude: 45% shift
+        vals = set(np.unique(out.numpy()).tolist())
+        assert vals <= {200, _FILL}
+        assert _FILL in vals  # vacated region constant-filled, not wrapped
+
+    def test_rrc_offsets_reach_edges(self, fake_imagefolder):
+        # statistical: with scale≈1 crops the offset range must include the
+        # right/bottom-most position (maxval inclusive fix)
+        cfg = DataConfig(data_dir=fake_imagefolder, img_size=8, batch_size=6,
+                         num_classes=2, aa=None, reprob=0.0, hflip=0.0,
+                         scale=(0.99, 1.0), shuffle_buffer=1)
+        it = make_dataset(cfg, train=True)
+        for _ in range(3):
+            b = next(it)
+            assert b["image"].shape == (6, 8, 8, 3)
+            assert np.isfinite(b["image"]).all()
