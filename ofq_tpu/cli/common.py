@@ -88,8 +88,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--aq_clip_learnable", dest="aq_clip_learnable",
                    action="store_true", default=False)
     p.add_argument("--qmodules", nargs="*", default=None)
-    p.add_argument("--act_layer", default="gelu")
-    p.add_argument("--apply_q_attn_dropout", action="store_true", default=False)
+    p.add_argument("--act_layer", default="gelu",
+                   choices=["relu", "gelu", "prelu", "rprelu", "None"])
+    p.add_argument("--apply_q_attn_dropout", type=int, default=0,
+                   help="0: quantize attn + dropout, 1: no quant + dropout, "
+                        "2: no quant + no dropout, 3: quantize + no dropout "
+                        "(reference train.py:357)")
+    p.add_argument("--wq_asym", action="store_true", default=False,
+                   help="asymmetric (unsigned-range) weight LSQ; requires "
+                        "--wq-mode lsq")
     p.add_argument("--qk_reparam", action="store_true", default=False)
     p.add_argument("--qk_reparam_type", type=int, default=0)
     p.add_argument("--boundaryRange", dest="boundary_range", type=float,
@@ -116,6 +123,10 @@ def build_parser() -> argparse.ArgumentParser:
                    action="store_true", default=False)
     p.add_argument("--kd-alpha", dest="kd_alpha", type=float, default=0.5)
     p.add_argument("--kd-type", dest="kd_type", default="last")
+    p.add_argument("--dampening-loss-weighting", "--dampening_loss_weighting",
+                   dest="dampening_loss_weighting", type=float, default=0.0,
+                   help="oscillation-dampening regularizer weight "
+                        "(reference utils.py:123-144, shipped as 0)")
 
     # EMA / checkpointing / output
     p.add_argument("--model-ema", dest="model_ema", action="store_true",
@@ -208,12 +219,14 @@ def policy_from_namespace(args) -> "QuantPolicy":
         wq_enable=args.wq_enable, wq_mode=args.wq_mode, wq_bitw=args.wq_bitw,
         wq_per_channel=args.wq_per_channel,
         wq_learnable=args.wq_clip_learnable,
+        wq_asym=getattr(args, "wq_asym", False),
         aq_enable=args.aq_enable, aq_mode=args.aq_mode, aq_bitw=args.aq_bitw,
         aq_per_channel=args.aq_per_channel,
         aq_learnable=args.aq_clip_learnable,
         qmodules=tuple(qmodules or ()),
         qk_reparam=args.qk_reparam, qk_reparam_type=args.qk_reparam_type,
         boundary_range=args.boundary_range, act_layer=args.act_layer,
+        apply_q_attn_dropout=getattr(args, "apply_q_attn_dropout", 0),
     )
 
 

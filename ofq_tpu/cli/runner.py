@@ -304,7 +304,10 @@ class Runner:
                     jnp.asarray, merge_pretrained(tparams, conv(sd)))
 
         with jax.set_mesh(self.mesh):
-            params = {"params": shard_params(params["params"], self.mesh)}
+            # keep non-param collections (batch_stats, quant_stats) —
+            # replicated alongside the sharded params
+            params = {**params,
+                      "params": shard_params(params["params"], self.mesh)}
             if tparams is not None:
                 tparams = shard_params(tparams, self.mesh)
             extra = None
@@ -328,6 +331,10 @@ class Runner:
                                boundary_range=args.boundary_range,
                                qk_reparam=args.qk_reparam,
                                model_type=args.model_type)
+            damp_cfg = None
+            if getattr(args, "dampening_loss_weighting", 0.0) > 0:
+                damp_cfg = dict(bits=args.wq_bitw,
+                                weighting=args.dampening_loss_weighting)
             step = jax.jit(make_train_step(
                 self.model, tx, teacher=self.teacher,
                 loss_kind=self.loss_kind,
@@ -335,7 +342,8 @@ class Runner:
                 ema_decay=args.model_ema_decay if args.model_ema else None,
                 cga=cga_cfg, oscillation=osc_cfg,
                 token_kd_alpha=args.kd_alpha,
-                token_kd_type=args.kd_type), donate_argnums=(0,))
+                token_kd_type=args.kd_type,
+                dampening=damp_cfg), donate_argnums=(0,))
             eval_step = jax.jit(make_eval_step(self.model))
 
             mgr = make_manager(self.out_dir, max_to_keep=args.checkpoint_hist,
@@ -376,10 +384,11 @@ class Runner:
                                 jnp.asarray(batch["label"]), bs["label"]),
                         }
                     key, sk, mk = jax.random.split(key, 3)
-                    # mixup/cutmix applies to any loss whose hard branch
-                    # accepts soft targets (the reference's KD hard CE does;
-                    # utils.py:59 comment "work with mixup as well")
-                    if mixup_on and self.loss_kind in ("ce", "kd_soft_hard"):
+                    # mixup/cutmix applies irrespective of loss kind, like
+                    # the reference's mixup_fn (train.py:893 runs before the
+                    # loss switch); every hard-CE branch accepts soft
+                    # targets and the soft-only losses ignore the label
+                    if mixup_on:
                         dev_batch = mixup_cutmix(
                             dev_batch, mk,
                             mixup_alpha=args.mixup, cutmix_alpha=args.cutmix,

@@ -115,14 +115,19 @@ class Block(nn.Module):
 
         h = make_norm(cfg.norm_layer, cfg.ln_eps, "norm1", deterministic)(x)
         if pol.quantizes(attn_path):
+            # --apply_q_attn_dropout gates the post-softmax quantizer and
+            # the attention dropout (QuantPolicy.q_attn_mode semantics)
+            q_attn_drop = (cfg.attn_drop_rate
+                           if pol.attn_dropout_enabled else 0.0)
             if pol.qk_reparam:
                 attn = QAttentionQKR(
                     num_heads=cfg.num_heads,
                     weight_bits=pol.weight.bit, input_bits=pol.act.bit,
                     aq_learnable=pol.act.learnable,
                     wq_learnable=pol.weight.learnable,
-                    attn_drop=cfg.attn_drop_rate, proj_drop=cfg.drop_rate,
+                    attn_drop=q_attn_drop, proj_drop=cfg.drop_rate,
                     qqkkvv=cfg.qqkkvv, compute_dtype=cfg.compute_dtype,
+                    quantize_softmax=pol.quantize_softmax,
                     matmul_impl=cfg.matmul_impl, name="attn")
             else:
                 attn = QAttention(
@@ -130,8 +135,10 @@ class Block(nn.Module):
                     weight_bits=pol.weight.bit, input_bits=pol.act.bit,
                     aq_learnable=pol.act.learnable,
                     wq_learnable=pol.weight.learnable,
-                    attn_drop=cfg.attn_drop_rate, proj_drop=cfg.drop_rate,
+                    attn_drop=q_attn_drop, proj_drop=cfg.drop_rate,
                     qqkkvv=cfg.qqkkvv, lsq_weights=pol.lsq_weights,
+                    wq_all_positive=not pol.weight.symmetric,
+                    quantize_softmax=pol.quantize_softmax,
                     compute_dtype=cfg.compute_dtype,
                     matmul_impl=cfg.matmul_impl, name="attn")
         else:
@@ -155,6 +162,7 @@ class Block(nn.Module):
                 wq_learnable=pol.weight.learnable,
                 act_layer=pol.act_layer, dropout_rate=cfg.drop_rate,
                 lsq_weights=pol.lsq_weights,
+                wq_all_positive=not pol.weight.symmetric,
                 compute_dtype=cfg.compute_dtype,
                 matmul_impl=cfg.matmul_impl, name="mlp")
         else:

@@ -222,6 +222,7 @@ class QSwinAttention(WindowAttentionBase):
     wq_learnable: bool = True
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    quantize_softmax: bool = True
     matmul_impl: Optional[str] = None
     compute_dtype: Optional[str] = None
 
@@ -263,8 +264,10 @@ class QSwinAttention(WindowAttentionBase):
         num_windows = (geom[3] // self.window_size) * (geom[4] // self.window_size)
         attn = self.apply_mask(attn, mask, num_windows)
         attn = jax.nn.softmax(attn, axis=-1)
-        attn = LsqAct(self.input_bits, all_positive=True, channel_axis=-2,
-                      learnable=self.aq_learnable, name="quan_softmax")(attn)
+        if self.quantize_softmax:
+            attn = LsqAct(self.input_bits, all_positive=True, channel_axis=-2,
+                          learnable=self.aq_learnable,
+                          name="quan_softmax")(attn)
         attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(Bn, n, C)
@@ -285,6 +288,7 @@ class QSwinAttentionQKR(WindowAttentionBase):
     wq_learnable: bool = True
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    quantize_softmax: bool = True
     matmul_impl: Optional[str] = None
     compute_dtype: Optional[str] = None
 
@@ -340,8 +344,10 @@ class QSwinAttentionQKR(WindowAttentionBase):
         num_windows = (geom[3] // self.window_size) * (geom[4] // self.window_size)
         attn = self.apply_mask(attn, mask, num_windows)
         attn = jax.nn.softmax(attn, axis=-1)
-        attn = LsqAct(self.input_bits, all_positive=True, channel_axis=-2,
-                      learnable=self.aq_learnable, name="quan_softmax")(attn)
+        if self.quantize_softmax:
+            attn = LsqAct(self.input_bits, all_positive=True, channel_axis=-2,
+                          learnable=self.aq_learnable,
+                          name="quan_softmax")(attn)
         attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(Bn, n, C)
@@ -407,9 +413,13 @@ class SwinBlock(nn.Module):
                       window_size=cfg.window_size, shift_size=self.shift,
                       attn_drop=cfg.attn_drop_rate, proj_drop=cfg.drop_rate)
         if pol.quantizes(self.attn_path):
+            # --apply_q_attn_dropout gating (QuantPolicy.q_attn_mode)
+            common["attn_drop"] = (cfg.attn_drop_rate
+                                   if pol.attn_dropout_enabled else 0.0)
             qkw = dict(weight_bits=pol.weight.bit, input_bits=pol.act.bit,
                        aq_learnable=pol.act.learnable,
                        wq_learnable=pol.weight.learnable,
+                       quantize_softmax=pol.quantize_softmax,
                        matmul_impl=cfg.matmul_impl,
                        compute_dtype=cfg.compute_dtype)
             if pol.qk_reparam:

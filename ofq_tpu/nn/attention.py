@@ -85,6 +85,10 @@ class QAttention(nn.Module):
     proj_drop: float = 0.0
     qqkkvv: bool = False
     lsq_weights: bool = False  # full-LSQ path (QAttention_lsq, attention.py:341)
+    wq_all_positive: bool = False
+    # --apply_q_attn_dropout modes 1/2 disable the post-softmax quantizer
+    # (see QuantPolicy.q_attn_mode; dropout gating happens via attn_drop)
+    quantize_softmax: bool = True
     matmul_impl: Optional[str] = None
     compute_dtype: Optional[object] = None
 
@@ -99,7 +103,9 @@ class QAttention(nn.Module):
             weight_bits=self.weight_bits, input_bits=self.input_bits,
             symmetric=True, aq_learnable=self.aq_learnable,
         )
-        if not self.lsq_weights:
+        if self.lsq_weights:
+            lin_kwargs.update(wq_all_positive=self.wq_all_positive)
+        else:
             lin_kwargs.update(
                 matmul_impl=self.matmul_impl, compute_dtype=self.compute_dtype)
         qkv = linear_cls(3 * C, name="qkv", **lin_kwargs)(x)
@@ -142,8 +148,9 @@ class QAttention(nn.Module):
                 jnp.einsum("bhnd,bhmd->bhnm", k, k) * sq,
                 jnp.einsum("bhnd,bhmd->bhnm", v, v) * sq,
             )
-        attn = LsqAct(self.input_bits, all_positive=True, channel_axis=-2,
-                      learnable=self.aq_learnable, name="quan_softmax")(attn)
+        if self.quantize_softmax:
+            attn = LsqAct(self.input_bits, all_positive=True, channel_axis=-2,
+                          learnable=self.aq_learnable, name="quan_softmax")(attn)
         attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
@@ -172,6 +179,7 @@ class QAttentionQKR(nn.Module):
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     qqkkvv: bool = False
+    quantize_softmax: bool = True
     matmul_impl: Optional[str] = None
     compute_dtype: Optional[object] = None
 
@@ -235,8 +243,27 @@ class QAttentionQKR(nn.Module):
         # attn logits: X @ (W_qk X^T)   (attention.py:210)
         attn = jnp.einsum("bnc,bhcm->bhnm", xq, qkx) * scale
         attn = jax.nn.softmax(attn, axis=-1)
-        attn = LsqAct(self.input_bits, all_positive=True, channel_axis=-2,
-                      learnable=self.aq_learnable, name="quan_softmax")(attn)
+        attn_info = None
+        if self.qqkkvv:
+            # Capability superset: the reference's QKR attention always
+            # returns None (attention.py:222), so kd_qk/kd_qkv silently
+            # lose their Gram terms with a QKR student.  Here q/k Grams
+            # come from the un-reparameterized per-head projections
+            # (q_kernel/k_kernel still exist as params) on the shared
+            # quantized input, and the v Gram from the quantized v path —
+            # the closest QKR analog of deit_vision_transformer.py:105-119.
+            sq = 1.0 / jnp.sqrt(d)
+            qf = (xq @ q_kernel).reshape(B, N, H, d).transpose(0, 2, 1, 3)
+            kf = (xq @ k_kernel).reshape(B, N, H, d).transpose(0, 2, 1, 3)
+            attn_info = (
+                attn,
+                jnp.einsum("bhnd,bhmd->bhnm", qf, qf) * sq,
+                jnp.einsum("bhnd,bhmd->bhnm", kf, kf) * sq,
+                jnp.einsum("bhnd,bhmd->bhnm", v, v) * sq,
+            )
+        if self.quantize_softmax:
+            attn = LsqAct(self.input_bits, all_positive=True, channel_axis=-2,
+                          learnable=self.aq_learnable, name="quan_softmax")(attn)
         attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
@@ -246,4 +273,4 @@ class QAttentionQKR(nn.Module):
             matmul_impl=self.matmul_impl, compute_dtype=self.compute_dtype,
             name="proj")(out)
         out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
-        return out, None
+        return out, attn_info

@@ -7,10 +7,10 @@ LearnableBias4img shifts, regardless of the model's target bit-width
 
 Layout is TPU-native NHWC with an HWIO kernel; a patchify conv with
 stride == kernel == patch size maps onto the MXU as one big matmul.
-The reference's runtime `signed` autodetection (lsq.py:336-355) is fixed
-to signed=True here: the conv input is a normalized image, which is signed
-from the first batch in every shipped recipe (documented deviation; the
-observed signedness is still asserted at calibration).
+The reference's runtime `signed` autodetection (lsq.py:336-355) is kept:
+a sticky boolean in the 'quant_stats' collection, initialized from the
+calibration batch and flipped (never reset) whenever a training batch
+contains negatives — the thresholds track it as traced values.
 """
 
 from __future__ import annotations
@@ -21,8 +21,53 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..quant.lsq import init_scale, lsq_quantize_dynamic_signed
 from .bias import ImageBias
 from .quantizers import LsqAct, LsqWeight
+
+
+class LsqImgQuantizer(nn.Module):
+    """Per-image-channel LSQ with runtime signedness autodetection.
+
+    Reference: lsq.py:306-382 (`LsqQuantizer4img`): `signed` is a sticky
+    buffer — zero until any input dips below -1e-5, one forever after —
+    selecting unsigned [0, 2^b-1] vs signed [-2^(b-1), 2^(b-1)-1] ranges.
+    The scale init always uses the factor-2 branch (ctor all_positive is
+    never set, lsq.py:321-323).  State lives in 'quant_stats' (threaded
+    like batch_stats: mutable during train steps, checkpoint-persisted).
+    """
+
+    bit: int
+    learnable: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if self.bit >= 32:
+            return x
+        x32 = x.astype(jnp.float32)
+        # stored as f32 0/1 (not bool) so full-variables grads stay legal
+        batch_signed = (jnp.min(x32) < -1e-5).astype(jnp.float32)
+        if (self.is_initializing()
+                or self.has_variable("quant_stats", "signed")
+                or self.is_mutable_collection("quant_stats")):
+            signed_var = self.variable(
+                "quant_stats", "signed", lambda: batch_signed)
+            if (not self.is_initializing()
+                    and self.is_mutable_collection("quant_stats")):
+                signed_var.value = jnp.maximum(signed_var.value, batch_signed)
+            signed = signed_var.value
+        else:
+            # caller supplied bare params without the quant_stats collection
+            # (converted checkpoints, teacher twins): detect from the live
+            # batch, exactly the reference's first-forward behavior
+            signed = batch_signed
+        s = self.param("s", lambda rng: init_scale(x32, self.bit, False, -1))
+        if not self.learnable:
+            s = jax.lax.stop_gradient(s)
+        y = lsq_quantize_dynamic_signed(
+            x32, s, self.bit, jax.lax.stop_gradient(signed != 0),
+            channel_axis=-1)
+        return y.astype(x.dtype)
 
 
 class QPatchEmbedConv(nn.Module):
@@ -47,10 +92,8 @@ class QPatchEmbedConv(nn.Module):
             "kernel", self.kernel_init, (kh, kw, c_in, self.features), jnp.float32
         )
         x = ImageBias(*self.img_size, name="move_b4")(x)
-        x = LsqAct(
+        x = LsqImgQuantizer(
             bit=self.input_bits,
-            all_positive=False,  # signed: normalized images
-            channel_axis=-1,     # per input channel (LsqQuantizer4img)
             learnable=self.aq_learnable,
             name="input_quant",
         )(x)

@@ -35,6 +35,60 @@ def _act_fn(name: str) -> Callable[[jax.Array], jax.Array]:
     }[name]
 
 
+class PReLU(nn.Module):
+    """torch.nn.PReLU semantics: one learnable slope (init 0.25) shared
+    across channels (the reference's ACT_LAYER_MAPPINGS 'prelu',
+    train.py:391-396, constructs nn.PReLU() with default num_parameters=1).
+    """
+
+    num_parameters: int = 1
+    init_value: float = 0.25
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        a = self.param(
+            "alpha",
+            lambda rng: jnp.full((self.num_parameters,), self.init_value,
+                                 jnp.float32))
+        a = (a if self.num_parameters > 1 else a[0]).astype(x.dtype)
+        return jnp.where(x >= 0, x, a * x)
+
+
+class RPReLU(nn.Module):
+    """ReActNet RPReLU: y = PReLU(x - move1) + move2 with per-channel
+    learnable shifts and slopes.
+
+    The reference declares an 'rprelu' act path (qlinear.py:110-131: the
+    forward calls self.move1/self.act/self.move2) but never constructs
+    those submodules, so selecting it upstream crashes with AttributeError;
+    this is the working implementation of that declared intent.
+    """
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        move1 = self.param("move1", nn.initializers.zeros, (self.dim,),
+                           jnp.float32)
+        slope = self.param(
+            "alpha", lambda rng: jnp.full((self.dim,), 0.25, jnp.float32))
+        move2 = self.param("move2", nn.initializers.zeros, (self.dim,),
+                           jnp.float32)
+        xs = x - move1.astype(x.dtype)
+        y = jnp.where(xs >= 0, xs, slope.astype(x.dtype) * xs)
+        return y + move2.astype(x.dtype)
+
+
+def apply_act(name: str, x: jax.Array) -> jax.Array:
+    """Apply the configured MLP activation (must run inside a compact
+    module frame; prelu/rprelu register an 'act' child with params)."""
+    if name == "prelu":
+        return PReLU(name="act")(x)
+    if name == "rprelu":
+        return RPReLU(x.shape[-1], name="act")(x)
+    return _act_fn(name)(x)
+
+
 class _BiasParam(nn.Module):
     """Param container matching LearnableBias's tree path ('<name>/bias')."""
 
@@ -146,6 +200,7 @@ class LsqLinear(nn.Module):
     aq_learnable: bool = True
     wq_learnable: bool = True
     weight_per_channel: bool = True
+    wq_all_positive: bool = False  # --wq_asym: unsigned weight range
     use_bias: bool = True
     kernel_init: Callable = nn.initializers.lecun_normal()
     bias_init: Callable = nn.initializers.zeros
@@ -170,6 +225,7 @@ class LsqLinear(nn.Module):
             bit=self.weight_bits,
             per_channel=self.weight_per_channel,
             learnable=self.wq_learnable,
+            all_positive=self.wq_all_positive,
             name="weight_quant",
         )(kernel)
         y = x @ wq
@@ -237,6 +293,7 @@ class QMlp(nn.Module):
     act_layer: str = "gelu"
     dropout_rate: float = 0.0
     lsq_weights: bool = False
+    wq_all_positive: bool = False
     matmul_impl: Optional[str] = None
     compute_dtype: Optional[Dtype] = None
 
@@ -247,11 +304,13 @@ class QMlp(nn.Module):
                 self.hidden_features, weight_bits=self.weight_bits,
                 input_bits=self.input_bits, symmetric=True,
                 aq_learnable=self.aq_learnable, wq_learnable=self.wq_learnable,
+                wq_all_positive=self.wq_all_positive,
                 name="fc1")
             fc2 = LsqLinear(
                 self.out_features, weight_bits=self.weight_bits,
                 input_bits=self.input_bits, symmetric=False,
                 aq_learnable=self.aq_learnable, wq_learnable=self.wq_learnable,
+                wq_all_positive=self.wq_all_positive,
                 name="fc2")
         else:
             fc1 = QLinear(
@@ -267,7 +326,7 @@ class QMlp(nn.Module):
                 matmul_impl=self.matmul_impl, compute_dtype=self.compute_dtype,
                 name="fc2")
         x = fc1(x)
-        x = _act_fn(self.act_layer)(x)
+        x = apply_act(self.act_layer, x)
         x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
         x = fc2(x)
         x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
@@ -285,7 +344,7 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
         x = nn.Dense(self.hidden_features, name="fc1")(x)
-        x = _act_fn(self.act_layer)(x)
+        x = apply_act(self.act_layer, x)
         x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
         x = nn.Dense(self.out_features, name="fc2")(x)
         x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)

@@ -117,11 +117,14 @@ class LsqWeight(nn.Module):
     Used for the W8 classifier head and the full-LSQ alternative path
     (reference: lsq.py:20-109, `LsqQuantizerWeight`).  `channel_axis=-1`
     on (in, out) kernels == the reference's per-row scale on (out, in).
+    `all_positive=True` (--wq_asym) selects the unsigned [0, 2^b-1] range
+    with the factor-4 scale init (lsq.py:24-31, 54-55).
     """
 
     bit: int
     per_channel: bool = True
     learnable: bool = True
+    all_positive: bool = False
 
     @nn.compact
     def __call__(self, w: jax.Array) -> jax.Array:
@@ -129,8 +132,11 @@ class LsqWeight(nn.Module):
             return w
         axis = -1 if self.per_channel else None
         w32 = w.astype(jnp.float32)
-        s = self.param("s", lambda rng: init_scale(w32, self.bit, False, axis))
+        s = self.param(
+            "s",
+            lambda rng: init_scale(w32, self.bit, self.all_positive, axis))
         if not self.learnable:
             s = jax.lax.stop_gradient(s)
-        y = lsq_quantize(w32, s, self.bit, all_positive=False, channel_axis=axis)
+        y = lsq_quantize(w32, s, self.bit, all_positive=self.all_positive,
+                         channel_axis=axis)
         return y.astype(w.dtype)

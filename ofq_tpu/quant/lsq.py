@@ -200,3 +200,37 @@ def lsq_quantize(
         return lsq_quantize_composed(
             x, s, bit, all_positive=all_positive, channel_axis=channel_axis)
     return _lsq_fused(x, s, bit, all_positive, channel_axis)
+
+
+def lsq_quantize_dynamic_signed(
+    x: jax.Array,
+    s: jax.Array,
+    bit: int,
+    signed: jax.Array,
+    *,
+    channel_axis: int | None = -1,
+) -> jax.Array:
+    """LSQ fake-quant whose signed/unsigned range is a *traced* boolean.
+
+    Backs the reference's `LsqQuantizer4img` runtime signedness
+    autodetection (lsq.py:336-355): the per-image-channel quantizer keeps a
+    sticky `signed` buffer flipped by the data, so the integer range is
+    [0, 2^b-1] until a negative input appears and [-2^(b-1), 2^(b-1)-1]
+    after.  Because `signed` is data-dependent state (not a static flag),
+    the thresholds and the scale-gradient factor are computed with lax ops
+    and the quantizer uses the composed autodiff form (this runs once per
+    step on the patch-embed input — negligible cost).
+    """
+    thd_neg = jnp.where(signed, -(2 ** (bit - 1)), 0)
+    thd_pos = jnp.where(signed, 2 ** (bit - 1) - 1, 2 ** bit - 1)
+    if channel_axis is None:
+        numel = math.prod(x.shape)
+    else:
+        # reference 4-D formula: thd_pos * B*H*W (lsq.py:363)
+        numel = math.prod(x.shape) // x.shape[channel_axis % x.ndim]
+    g = 1.0 / jnp.sqrt(thd_pos.astype(jnp.float32) * numel)
+    s_b = _broadcast_scale(s, x.ndim, channel_axis)
+    s_eff = grad_scale(clip_lower(s_b, _S_EPS), g)
+    y = jnp.clip(x / s_eff, thd_neg, thd_pos)
+    y = round_pass(y)
+    return y * s_eff

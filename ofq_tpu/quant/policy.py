@@ -29,6 +29,9 @@ class QuantSpec:
     per_channel: bool = True
     learnable: bool = True
     all_positive: bool = False
+    # weights only: --wq_asym selects the unsigned LSQ range
+    # (reference train.py:403 "symmetric": not args.wq_asym)
+    symmetric: bool = True
 
     @property
     def enabled(self) -> bool:
@@ -50,6 +53,22 @@ class QuantPolicy:
     qk_reparam_type: int = 0  # 0: QKR, 1: QKR + CGA in-forward quantizer
     boundary_range: float = 0.005
     act_layer: str = "gelu"
+    # --apply_q_attn_dropout (reference train.py:357-358 help text):
+    #   0: quantize post-softmax attn AND apply attn dropout
+    #   1: don't quantize attn, apply dropout
+    #   2: don't quantize attn, no dropout
+    #   3: quantize attn, no dropout
+    # (the reference parses this into every qconfig at train.py:417 but
+    # never consumes it downstream; here it actually takes effect)
+    q_attn_mode: int = 0
+
+    @property
+    def quantize_softmax(self) -> bool:
+        return self.q_attn_mode in (0, 3)
+
+    @property
+    def attn_dropout_enabled(self) -> bool:
+        return self.q_attn_mode in (0, 1)
 
     def quantizes(self, path: str) -> bool:
         return path in self.qmodules
@@ -103,6 +122,7 @@ def policy_from_args(
     wq_bitw: int = 8,
     wq_per_channel: bool = True,
     wq_learnable: bool = False,
+    wq_asym: bool = False,
     aq_enable: bool = True,
     aq_mode: str = "lsq",
     aq_bitw: int = 8,
@@ -113,6 +133,7 @@ def policy_from_args(
     qk_reparam_type: int = 0,
     boundary_range: float = 0.005,
     act_layer: str = "gelu",
+    apply_q_attn_dropout: int = 0,
 ) -> QuantPolicy:
     """Build a QuantPolicy from reference-style CLI flags.
 
@@ -122,11 +143,19 @@ def policy_from_args(
     """
     w_mode = wq_mode if wq_enable else "identity"
     w_bits_valid = wq_bitw < 32 and aq_enable
+    if wq_asym and w_mode == "statsq" and w_bits_valid:
+        raise ValueError(
+            "--wq_asym requires --wq-mode lsq: StatsQ's scale (2*mean|W| "
+            "per row, statsq.py:122-150) defines a symmetric mid-rise grid "
+            "with no asymmetric form; the reference parses the flag but "
+            "never consumes it (train.py:403), so rather than a silent "
+            "no-op this errors out.")
     weight = QuantSpec(
         mode=w_mode if w_bits_valid else "identity",
         bit=wq_bitw if w_bits_valid else 32,
         per_channel=wq_per_channel,
         learnable=wq_learnable,
+        symmetric=not wq_asym,
     )
     a_bits_valid = aq_enable and aq_bitw < 32
     act = QuantSpec(
@@ -145,4 +174,5 @@ def policy_from_args(
         qk_reparam_type=qk_reparam_type,
         boundary_range=boundary_range,
         act_layer=act_layer,
+        q_attn_mode=int(apply_q_attn_dropout),
     )

@@ -34,6 +34,7 @@ def make_train_step(
     oscillation: Optional[dict] = None,  # dict(bits, momentum, freeze_threshold, ...)
     token_kd_alpha: float = 0.5,
     token_kd_type: str = "last",
+    dampening: Optional[dict] = None,  # dict(bits, weighting)
 ) -> Callable:
     """Build the jitted train step closure.
 
@@ -84,6 +85,13 @@ def make_train_step(
                     alpha=token_kd_alpha, kd_type=token_kd_type)
             else:
                 raise ValueError(loss_kind)
+        if dampening is not None and dampening.get("weighting", 0.0) > 0:
+            # KDLossSoftandHard_dampening (utils.py:123-144): oscillation
+            # dampening regularizer added onto the base loss
+            from .losses import dampening_loss
+
+            loss = loss + dampening_loss(
+                params, dampening["bits"], dampening["weighting"])
         return loss, state_updates
 
     def train_step(state: TrainState, batch, rng, teacher_params=None):
