@@ -387,10 +387,13 @@ class PatchMerging(nn.Module):
             # axis -2, i.e. one scale per WIDTH column shared across rows
             # (LsqQuantizer 4-D branch, lsq.py:552-560).  Keep the 4-D
             # shape so the scale shape matches reference checkpoints.
+            # NB: the reference's QLinear always constructs bias=True
+            # (qlinear.py:34), so the quantized reduction GAINS a trainable
+            # bias the float module lacks — preserved for checkpoint parity.
             return QLinear(
                 2 * self.dim, weight_bits=pol.weight.bit,
                 input_bits=pol.act.bit, symmetric=True,
-                aq_learnable=pol.act.learnable, use_bias=False,
+                aq_learnable=pol.act.learnable, use_bias=True,
                 name="reduction")(x)
         return nn.Dense(2 * self.dim, use_bias=False, name="reduction")(x)
 
