@@ -145,6 +145,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default=0)
     p.add_argument("--log-wandb", dest="log_wandb", action="store_true",
                    default=False)
+    p.add_argument("--wandb-watch", dest="wandb_watch", action="store_true",
+                   default=False,
+                   help="per-module gradient-norm telemetry each logged "
+                        "step (wandb.watch analog, reference train.py:936)")
 
     # accepted-and-ignored process-launch flags (reference GPU workflow)
     p.add_argument("--world_size", default=None,
@@ -159,6 +163,10 @@ def build_parser() -> argparse.ArgumentParser:
                    type=int, default=1)
     p.add_argument("--compute-dtype", dest="compute_dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--master-dtype", dest="master_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="param STORAGE dtype; update/quantizer math stays "
+                        "fp32 (BASELINE config 5's bf16 master weights)")
     p.add_argument("--matmul-impl", dest="matmul_impl", default="xla",
                    choices=["xla", "pallas", "fused"])
     p.add_argument("--max-steps", dest="max_steps", type=int, default=None,

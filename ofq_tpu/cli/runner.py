@@ -136,6 +136,10 @@ class Runner:
         chain (incl. grad clipping), EMA and oscillation structure — so
         orbax restore sees an identical pytree."""
         args = args or self.args
+        if getattr(args, "master_dtype", "float32") == "bfloat16":
+            variables = {**variables, "params": jax.tree.map(
+                lambda p: jax.ShapeDtypeStruct(p.shape, jnp.bfloat16)
+                if hasattr(p, "shape") else p, variables["params"])}
         tx = make_optimizer(
             lambda _: 0.0, weight_decay=args.weight_decay,
             clip_grad=args.clip_grad, clip_mode=args.clip_mode)
@@ -303,6 +307,9 @@ class Runner:
                 tparams = jax.tree.map(
                     jnp.asarray, merge_pretrained(tparams, conv(sd)))
 
+        if getattr(args, "master_dtype", "float32") == "bfloat16":
+            params = {**params, "params": jax.tree.map(
+                lambda p: p.astype(jnp.bfloat16), params["params"])}
         with jax.set_mesh(self.mesh):
             # keep non-param collections (batch_stats, quant_stats) —
             # replicated alongside the sharded params
@@ -343,7 +350,10 @@ class Runner:
                 cga=cga_cfg, oscillation=osc_cfg,
                 token_kd_alpha=args.kd_alpha,
                 token_kd_type=args.kd_type,
-                dampening=damp_cfg), donate_argnums=(0,))
+                dampening=damp_cfg,
+                master_dtype=getattr(args, "master_dtype", None),
+                per_layer_grad_norms=getattr(args, "wandb_watch", False)),
+                donate_argnums=(0,))
             eval_step = jax.jit(make_eval_step(self.model))
 
             mgr = make_manager(self.out_dir, max_to_keep=args.checkpoint_hist,
@@ -410,6 +420,17 @@ class Runner:
                             "epoch %d step %d/%d loss %.4f lr %.3e%s",
                             epoch, it, steps_per_epoch, loss,
                             float(lr_epoch(epoch)), osc)
+                        if args.log_wandb:
+                            try:
+                                import wandb
+
+                                if wandb.run is not None:
+                                    wandb.log({
+                                        "step": total_steps,
+                                        **{k: float(v)
+                                           for k, v in metrics.items()}})
+                            except ImportError:
+                                pass
                     if (args.recovery_interval
                             and total_steps % args.recovery_interval == 0):
                         # in-epoch crash-recovery snapshot, step-indexed and
@@ -466,6 +487,10 @@ class Runner:
                         _logger.warning("--log-wandb set but wandb missing")
                 if args.max_steps and total_steps >= args.max_steps:
                     break
+            # drain in-flight async checkpoint writes before returning
+            mgr.wait_until_finished()
+            if hasattr(self, "_recovery_mgr"):
+                self._recovery_mgr.wait_until_finished()
             _logger.info("best top1 %.3f at epoch %d", best["top1"],
                          best["epoch"])
             return best

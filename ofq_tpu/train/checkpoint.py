@@ -26,19 +26,23 @@ def make_manager(directory: str, *, max_to_keep: int = 10,
         best_fn=lambda m: m.get(metric_name, float("-inf")),
         best_mode="max",
         create=True,
-        enable_async_checkpointing=False,
+        # async: the device->host copy is synchronous inside save() (so
+        # donated buffers are safe to reuse immediately), the disk/GCS
+        # write overlaps the next epoch — no epoch-boundary stall on pods.
+        enable_async_checkpointing=True,
     )
     return ocp.CheckpointManager(os.path.abspath(directory), options=options)
 
 
 def save_epoch(mgr: ocp.CheckpointManager, epoch: int, state,
                metrics: Optional[dict] = None) -> None:
+    """Async save; call mgr.wait_until_finished() before process exit or
+    before restoring from the same directory."""
     mgr.save(
         epoch,
         args=ocp.args.StandardSave(state),
         metrics={k: float(v) for k, v in (metrics or {}).items()},
     )
-    mgr.wait_until_finished()
 
 
 def restore_latest(mgr: ocp.CheckpointManager, abstract_state) -> tuple[Any, int]:

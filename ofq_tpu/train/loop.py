@@ -35,6 +35,8 @@ def make_train_step(
     token_kd_alpha: float = 0.5,
     token_kd_type: str = "last",
     dampening: Optional[dict] = None,  # dict(bits, weighting)
+    master_dtype: Optional[str] = None,  # 'bfloat16': bf16 param storage
+    per_layer_grad_norms: bool = False,  # wandb.watch-style telemetry
 ) -> Callable:
     """Build the jitted train step closure.
 
@@ -42,8 +44,18 @@ def make_train_step(
     semantics; see ofq_tpu/train/cga.py).
     """
 
+    master_bf16 = master_dtype == "bfloat16"
+
+    def _f32(tree):
+        return jax.tree.map(lambda p: p.astype(jnp.float32), tree)
+
     def loss_fn(params, model_state, batch, rng, teacher_params):
         rngs = {"dropout": rng, "droppath": jax.random.fold_in(rng, 1)}
+        if master_bf16:
+            # bf16 master weights, fp32 compute/quantizer math: upcast the
+            # param view inside the step (BASELINE config 5; the bf16 win
+            # is HBM footprint + collective bytes, not compute dtype)
+            params = _f32(params)
         variables = {"params": params, **model_state}
         mutable = list(model_state.keys())  # e.g. ['batch_stats'] under BN
         if mutable:
@@ -109,11 +121,17 @@ def make_train_step(
                 model_type=cga.get("model_type", "deit"))
             grads = cga_lib.mask_grads(grads, masks)
 
+        # update math always runs in fp32; optax.apply_updates would cast
+        # the update to the param dtype BEFORE the add, losing low bits of
+        # small updates under bf16 masters — add in fp32, cast after.
         updates, new_opt_state = tx.update(
-            grads, state.opt_state, state.params["params"])
+            _f32(grads), state.opt_state, _f32(state.params["params"]))
         import optax
 
-        new_params = optax.apply_updates(state.params["params"], updates)
+        new_params = jax.tree.map(
+            lambda p, u: (p.astype(jnp.float32)
+                          + u.astype(jnp.float32)).astype(p.dtype),
+            state.params["params"], updates)
         if masks is not None:
             new_params = cga_lib.restore_frozen(
                 state.params["params"], new_params, masks)
@@ -122,6 +140,11 @@ def make_train_step(
             "loss": loss,
             "grad_norm": optax.global_norm(grads),
         }
+        if per_layer_grad_norms:
+            # wandb.watch(log='all') analog (reference train.py:936-937):
+            # per-top-level-module gradient norms, computed in-graph
+            for name, sub in grads.items():
+                metrics[f"grad_norm/{name}"] = optax.global_norm(sub)
 
         new_extra = state.extra
         if oscillation is not None and state.extra is not None:
@@ -166,6 +189,11 @@ def make_eval_step(model) -> Callable:
 
     def eval_step(params, batch):
         variables = params if "params" in params else {"params": params}
+        # bf16-master states evaluate with fp32 quantizer math
+        variables = {**variables, "params": jax.tree.map(
+            lambda p: (p.astype(jnp.float32)
+                       if p.dtype == jnp.bfloat16 else p),
+            variables["params"])}
         logits, _ = model.apply(variables, batch["image"], train=False)
         k = min(5, logits.shape[-1])
         top5 = jax.lax.top_k(logits, k)[1]

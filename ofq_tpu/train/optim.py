@@ -107,6 +107,9 @@ def make_optimizer(
 
 
 def ema_update(ema_params, params, decay: float = 0.9999):
-    """ModelEmaV2-style exponential moving average of the param pytree."""
+    """ModelEmaV2-style exponential moving average of the param pytree.
+    Math in fp32, result in the EMA's storage dtype (bf16-master safe)."""
     return jax.tree.map(
-        lambda e, p: decay * e + (1.0 - decay) * p, ema_params, params)
+        lambda e, p: (decay * e.astype(jnp.float32)
+                      + (1.0 - decay) * p.astype(jnp.float32)).astype(e.dtype),
+        ema_params, params)

@@ -22,9 +22,13 @@ class TrainState:
     def create(cls, params, tx, ema: bool = False, extra: Any = None):
         import jax.numpy as jnp
 
+        # Adam moments always live in fp32, even under bf16 master weights
+        # (the update math runs in fp32; see train/loop.py)
+        f32_view = jax.tree.map(
+            lambda x: x.astype(jnp.float32), params["params"])
         return cls(
             params=params,
-            opt_state=tx.init(params["params"]),
+            opt_state=tx.init(f32_view),
             step=jnp.zeros((), jnp.int32),
             epoch=jnp.zeros((), jnp.int32),
             ema_params=jax.tree.map(lambda x: x, params["params"]) if ema else None,

@@ -223,3 +223,49 @@ class TestDampeningFlag:
     def test_cli_flag_parses(self):
         args = parse_args(["synthetic", "--dampening-loss-weighting", "0.1"])
         assert args.dampening_loss_weighting == 0.1
+
+
+class TestBf16Masters:
+    def test_step_preserves_dtypes_and_converges(self):
+        import optax
+
+        from ofq_tpu.train import TrainState, make_train_step
+
+        pol = tiny_policy()
+        m = tiny_model(pol)
+        x = jnp.asarray(
+            np.random.default_rng(0).normal(size=(8, 16, 16, 3)), jnp.float32)
+        y = jnp.asarray(np.arange(8) % 5, jnp.int32)
+        v = m.init(jax.random.key(0), x, train=False)
+        v = {**v, "params": jax.tree.map(
+            lambda p: p.astype(jnp.bfloat16), v["params"])}
+        tx = optax.adam(5e-3)
+        state = TrainState.create(v, tx)
+        step = jax.jit(make_train_step(
+            m, tx, loss_kind="ce", master_dtype="bfloat16"))
+        losses = []
+        for i in range(20):
+            state, metrics = step(state, {"image": x, "label": y},
+                                  jax.random.key(i))
+            losses.append(float(metrics["loss"]))
+        # params stay bf16; Adam moments are fp32
+        assert all(p.dtype == jnp.bfloat16
+                   for p in jax.tree.leaves(state.params["params"]))
+        mu = state.opt_state[0].mu if hasattr(state.opt_state[0], "mu") \
+            else state.opt_state[0][0].mu
+        assert all(mval.dtype == jnp.float32 for mval in jax.tree.leaves(mu))
+        assert losses[-1] < losses[0] * 0.8, losses
+
+    def test_eval_step_upcasts(self):
+        from ofq_tpu.train import make_eval_step
+
+        pol = tiny_policy()
+        m = tiny_model(pol)
+        x = jnp.asarray(
+            np.random.default_rng(0).normal(size=(4, 16, 16, 3)), jnp.float32)
+        v = m.init(jax.random.key(0), x, train=False)
+        v16 = {**v, "params": jax.tree.map(
+            lambda p: p.astype(jnp.bfloat16), v["params"])}
+        step = make_eval_step(m)
+        out = step(v16, {"image": x, "label": jnp.asarray([0, 1, 2, 3])})
+        assert int(out["count"]) == 4

@@ -1,0 +1,56 @@
+"""Real multi-process multihost smoke (VERDICT r1 #6).
+
+Launches two jax.distributed processes on localhost (CPU backend, 2
+virtual devices each) and runs one sharded train step + eval through
+initialize_multihost / host_batch_slice / local_to_global.  Verifies both
+processes compute the IDENTICAL global loss — the SPMD contract a pod
+relies on.
+"""
+
+import os
+import re
+import socket
+import subprocess
+import sys
+
+import pytest
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_train_step():
+    here = os.path.dirname(os.path.abspath(__file__))
+    worker = os.path.join(here, "multihost_worker.py")
+    coordinator = f"localhost:{_free_port()}"
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    # scrub the session-wide 8-device flag; the worker sets its own
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f)
+    env["PYTHONPATH"] = os.path.dirname(here)
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), coordinator],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=560)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
+    losses = []
+    for out in outs:
+        m = re.search(r"MULTIHOST_OK proc=\d loss=([0-9.]+) count=8", out)
+        assert m, out[-3000:]
+        losses.append(float(m.group(1)))
+    # SPMD: every host computes the same global loss
+    assert losses[0] == losses[1], losses
