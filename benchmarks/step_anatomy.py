@@ -1,0 +1,142 @@
+"""Step-anatomy benchmark: where does the QAT training step spend its time?
+
+Measures the DeiT-S W2A2 QKR training step (the bench.py workload — the
+hot loop of reference train_scripts/deit_s/w2a2_deit_s.sh) in controlled
+variants on the real chip, so every optimization claim in docs/DESIGN.md
+is a measurement, not a guess.
+
+Variants:
+  full        — the default fp32 QAT step (bench.py configuration)
+  bf16        — same step with compute_dtype='bfloat16' (token stream,
+                quantizer math, and teacher in bf16)
+  fp          — float student (no quantization), same teacher + KD loss
+  noteacher   — QAT student, hard CE only (isolates the teacher forward)
+  noqkr       — QAT step with plain QAttention (isolates the QKR einsums)
+  fwd         — QAT forward only (no grad, loss value only)
+
+Usage:  python benchmarks/step_anatomy.py [--variants full,bf16,...]
+                                          [--batch 128] [--iters 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BATCH = 128
+WARMUP = 3
+ITERS = 10
+ROUNDS = 3
+
+
+def build(variant: str, batch: int, dtype: str = None):
+    from ofq_tpu.models import deit_model
+    from ofq_tpu.quant import default_deit_qmodules, policy_from_args
+    from ofq_tpu.train import TrainState, make_optimizer, make_train_step
+    from ofq_tpu.train.schedule import cosine_with_warmup_cooldown
+
+    quantized = variant != "fp"
+    compute_dtype = dtype if dtype else ("bfloat16" if variant == "bf16" else None)
+    if quantized:
+        policy = policy_from_args(
+            wq_bitw=2, aq_bitw=2, qmodules=default_deit_qmodules(12),
+            qk_reparam=(variant != "noqkr"), qk_reparam_type=0)
+    else:
+        from ofq_tpu.quant import QuantPolicy
+        policy = QuantPolicy()
+    student = deit_model("deit_small_distilled_patch16_224", policy=policy,
+                         compute_dtype=compute_dtype)
+    teacher = deit_model("deit_small_distilled_patch16_224",
+                         compute_dtype=compute_dtype)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(batch, 224, 224, 3)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 1000, size=(batch,)), jnp.int32)
+    batch_d = {"image": x, "label": labels}
+
+    sparams = jax.jit(
+        lambda k, xx: student.init({"params": k}, xx, train=False)
+    )(jax.random.key(0), x[:8])
+    tparams = jax.jit(
+        lambda k, xx: teacher.init({"params": k}, xx, train=False)
+    )(jax.random.key(1), x[:8])["params"]
+    if compute_dtype == "bfloat16":
+        # frozen teacher: store its weights in bf16 outright
+        tparams = jax.tree.map(lambda p: p.astype(jnp.bfloat16), tparams)
+
+    lr_fn = cosine_with_warmup_cooldown(
+        5.47e-4, epochs=300, warmup_epochs=5, warmup_lr=1e-6, min_lr=1e-5)
+    tx = make_optimizer(lr_fn, weight_decay=0.05)
+    state = jax.jit(lambda p: TrainState.create(p, tx))(sparams)
+
+    loss_kind = "ce" if variant == "noteacher" else "kd_soft_hard"
+    step_fn = make_train_step(
+        student, tx, teacher=None if variant == "noteacher" else teacher,
+        loss_kind=loss_kind)
+
+    if variant == "fwd":
+        def fwd_only(state, batch, rng, tparams):
+            out, _ = student.apply(
+                state.params, batch["image"], train=True,
+                rngs={"dropout": rng, "droppath": rng})
+            return state, {"loss": jnp.mean(out[0])}
+        step = jax.jit(fwd_only)
+    else:
+        step = jax.jit(step_fn, donate_argnums=(0,))
+    return step, state, batch_d, tparams
+
+
+def time_variant(variant: str, batch: int, iters: int, dtype=None) -> dict:
+    step, state, batch_d, tparams = build(variant, batch, dtype)
+    key = jax.random.key(2)
+    n = 0
+    t_c0 = time.perf_counter()
+    for _ in range(WARMUP):
+        state, metrics = step(state, batch_d, jax.random.fold_in(key, n),
+                              tparams)
+        n += 1
+    float(metrics["loss"])  # host fetch == true barrier under the tunnel
+    compile_s = time.perf_counter() - t_c0
+    times = []
+    for _ in range(ROUNDS):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, metrics = step(state, batch_d,
+                                  jax.random.fold_in(key, n), tparams)
+            n += 1
+        float(metrics["loss"])
+        times.append(time.perf_counter() - t0)
+    ms = min(times) / iters * 1e3
+    return {"variant": variant + (f"+{dtype}" if dtype else ""),
+            "batch": batch, "step_ms": round(ms, 1),
+            "imgs_per_sec": round(batch * 1e3 / ms, 1),
+            "compile_s": round(compile_s, 1)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", default="full,bf16,fp,noteacher,noqkr,fwd")
+    ap.add_argument("--batch", type=int, default=BATCH)
+    ap.add_argument("--iters", type=int, default=ITERS)
+    ap.add_argument("--dtype", default=None,
+                    help="force compute_dtype for every variant")
+    args = ap.parse_args()
+    results = []
+    for v in args.variants.split(","):
+        r = time_variant(v.strip(), args.batch, args.iters, args.dtype)
+        print(json.dumps(r), flush=True)
+        results.append(r)
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -66,8 +66,10 @@ def build_model(args, policy, *, teacher: bool = False):
         # TPU speed-path flags apply to both DeiT and Swin students
         if args.matmul_impl and args.matmul_impl != "xla":
             over["matmul_impl"] = args.matmul_impl
-        if args.compute_dtype and args.compute_dtype != "float32":
-            over["compute_dtype"] = args.compute_dtype
+    if args.compute_dtype and args.compute_dtype != "float32":
+        # the bf16 stream applies to the teacher too (its forward is ~25%
+        # of the step FLOPs and carries no quantizer state to protect)
+        over["compute_dtype"] = args.compute_dtype
     from ..quant.policy import QuantPolicy
 
     if teacher:
@@ -306,6 +308,13 @@ class Runner:
                         else convert_deit)
                 tparams = jax.tree.map(
                     jnp.asarray, merge_pretrained(tparams, conv(sd)))
+            if getattr(args, "compute_dtype", "float32") == "bfloat16":
+                # frozen teacher weights stored in bf16: halves their HBM
+                # footprint and read bandwidth; the teacher model itself
+                # already runs under compute_dtype
+                tparams = jax.tree.map(
+                    lambda p: (p.astype(jnp.bfloat16)
+                               if p.dtype == jnp.float32 else p), tparams)
 
         if getattr(args, "master_dtype", "float32") == "bfloat16":
             params = {**params, "params": jax.tree.map(

@@ -65,9 +65,11 @@ class DeiTConfig:
     # return per-block token features for token-KD (KLTokenMSELoss):
     # the aux output becomes {'attn_infos': ..., 'features': [...]}
     return_features: bool = False
-    # 'bfloat16' runs the token stream (matmuls, einsums, residuals) in
-    # bf16 with fp32 params and fp32 quantizer math — the TPU-native
-    # speed path; None keeps the reference's fp32 everywhere.
+    # 'bfloat16' runs the token stream end-to-end in bf16 — matmuls,
+    # einsums, residuals, norms, AND the activation fake-quant chains
+    # (integer levels are exact in bf16; norm statistics and LSQ scale
+    # gradients still accumulate in fp32) with fp32 master params — the
+    # TPU-native speed path; None keeps the reference's fp32 everywhere.
     compute_dtype: Optional[str] = None
 
 
@@ -76,11 +78,17 @@ DEIT_SMALL = DeiTConfig(embed_dim=384, num_heads=6)
 DEIT_BASE = DeiTConfig(embed_dim=768, num_heads=12)
 
 
-def make_norm(norm_layer: str, eps: float, name: str, deterministic: bool):
+def make_norm(norm_layer: str, eps: float, name: str, deterministic: bool,
+              compute_dtype: Optional[str] = None):
+    # dtype must be pinned under the bf16 stream: flax's default dtype
+    # inference promotes bf16 inputs with fp32 scale/bias params back to
+    # fp32, which would silently undo the compute-dtype policy at every
+    # norm (statistics still accumulate in fp32 internally)
+    dtype = jnp.dtype(compute_dtype) if compute_dtype is not None else None
     if norm_layer == "batchnorm":
         return nn.BatchNorm(use_running_average=deterministic,
-                            epsilon=eps, momentum=0.9, name=name)
-    return nn.LayerNorm(epsilon=eps, name=name)
+                            epsilon=eps, momentum=0.9, dtype=dtype, name=name)
+    return nn.LayerNorm(epsilon=eps, dtype=dtype, name=name)
 
 
 def _drop_path(x: jax.Array, rate: float, deterministic: bool,
@@ -113,7 +121,8 @@ class Block(nn.Module):
         C = cfg.embed_dim
         hidden = int(C * cfg.mlp_ratio)
 
-        h = make_norm(cfg.norm_layer, cfg.ln_eps, "norm1", deterministic)(x)
+        h = make_norm(cfg.norm_layer, cfg.ln_eps, "norm1", deterministic,
+                      cfg.compute_dtype)(x)
         if pol.quantizes(attn_path):
             # --apply_q_attn_dropout gates the post-softmax quantizer and
             # the attention dropout (QuantPolicy.q_attn_mode semantics)
@@ -153,7 +162,8 @@ class Block(nn.Module):
                 self.make_rng("droppath"))
         x = x + attn_out
 
-        h = make_norm(cfg.norm_layer, cfg.ln_eps, "norm2", deterministic)(x)
+        h = make_norm(cfg.norm_layer, cfg.ln_eps, "norm2", deterministic,
+                      cfg.compute_dtype)(x)
         if pol.quantizes(mlp_path):
             mlp = QMlp(
                 hidden_features=hidden, out_features=C,
@@ -236,7 +246,8 @@ class VisionTransformer(nn.Module):
             attn_infos.append(info)
             features.append(x)
 
-        x = make_norm(cfg.norm_layer, cfg.ln_eps, "norm", deterministic)(x)
+        x = make_norm(cfg.norm_layer, cfg.ln_eps, "norm", deterministic,
+                      cfg.compute_dtype)(x)
         x = x.astype(jnp.float32)
 
         # --- heads (pinned W8A8 when quantized) ---

@@ -149,7 +149,7 @@ class WindowAttentionBase(nn.Module):
             ((2 * w - 1) * (2 * w - 1), self.num_heads))
         idx = _rel_pos_index(w, w)
         bias = table[idx].reshape(n, n, self.num_heads)
-        return bias.transpose(2, 0, 1)[None]  # (1, nH, n, n)
+        return bias.transpose(2, 0, 1)[None]  # (1, nH, n, n); callers cast
 
     def geometry(self, x):
         B, H, W, _ = x.shape
@@ -171,7 +171,7 @@ class WindowAttentionBase(nn.Module):
             return attn
         BnW, nH, n, _ = attn.shape
         attn = attn.reshape(BnW // num_windows, num_windows, nH, n, n)
-        attn = attn + mask[None, :, None]
+        attn = attn + mask[None, :, None].astype(attn.dtype)
         return attn.reshape(BnW, nH, n, n)
 
 
@@ -191,7 +191,7 @@ class SwinAttention(WindowAttentionBase):
         qkv = qkv.reshape(Bn, n, 3, H, d).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
         attn = jnp.einsum("bhnd,bhmd->bhnm", q, k) * (d ** -0.5)
-        attn = attn + self.rel_pos_bias()
+        attn = attn + self.rel_pos_bias().astype(attn.dtype)
         num_windows = (geom[3] // self.window_size) * (geom[4] // self.window_size)
         attn = self.apply_mask(attn, mask, num_windows)
         attn = jax.nn.softmax(attn, axis=-1)
@@ -260,7 +260,7 @@ class QSwinAttention(WindowAttentionBase):
         v = v.reshape(Bn, n, H, d).transpose(0, 2, 1, 3)
 
         attn = jnp.einsum("bhnd,bhmd->bhnm", q, k) * (d ** -0.5)
-        attn = attn + self.rel_pos_bias()
+        attn = attn + self.rel_pos_bias().astype(attn.dtype)
         num_windows = (geom[3] // self.window_size) * (geom[4] // self.window_size)
         attn = self.apply_mask(attn, mask, num_windows)
         attn = jax.nn.softmax(attn, axis=-1)
@@ -329,18 +329,21 @@ class QSwinAttentionQKR(WindowAttentionBase):
         if self.compute_dtype is not None:
             w_qk = w_qk.astype(self.compute_dtype)
 
-        qkx = jnp.einsum("hij,bnj->bhin", w_qk, xq)
-        qkx = qkx.transpose(0, 3, 1, 2).reshape(Bn, n, H * C)
+        # keep the natural (Bn, n, H, C) matmul-output layout through the
+        # bias/LSQ chain (see QAttentionQKR — avoids two materialized
+        # transposes per block; numerically identical)
+        qkx = jnp.einsum("bnj,hij->bnhi", xq, w_qk)
+        qkx = qkx.reshape(Bn, n, H * C)
         qkx = LearnableBias(H * C, name="move_qkx_b4")(qkx)
         qkx = qkx.reshape(Bn, n * H, C)
         qkx = LsqAct(self.input_bits, channel_axis=-2,
                      learnable=self.aq_learnable, name="quan_qkx")(qkx)
         qkx = qkx.reshape(Bn, n, H * C)
         qkx = LearnableBias(H * C, name="move_qkx_aft")(qkx)
-        qkx = qkx.reshape(Bn, n, H, C).transpose(0, 2, 3, 1)
+        qkx = qkx.reshape(Bn, n, H, C)
 
-        attn = jnp.einsum("bnc,bhcm->bhnm", xq, qkx) * (d ** -0.5)
-        attn = attn + self.rel_pos_bias()
+        attn = jnp.einsum("bnc,bmhc->bhnm", xq, qkx) * (d ** -0.5)
+        attn = attn + self.rel_pos_bias().astype(attn.dtype)
         num_windows = (geom[3] // self.window_size) * (geom[4] // self.window_size)
         attn = self.apply_mask(attn, mask, num_windows)
         attn = jax.nn.softmax(attn, axis=-1)
@@ -369,6 +372,7 @@ class PatchMerging(nn.Module):
     policy: QuantPolicy
     qpath: str  # e.g. "features.2.reduction"
     ln_eps: float = 1e-5
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -379,7 +383,7 @@ class PatchMerging(nn.Module):
         x2 = x[:, 0::2, 1::2]
         x3 = x[:, 1::2, 1::2]
         x = jnp.concatenate([x0, x1, x2, x3], axis=-1)  # (B, H/2, W/2, 4C)
-        x = nn.LayerNorm(epsilon=self.ln_eps, name="norm")(x)
+        x = _norm(self.ln_eps, "norm", self.compute_dtype)(x)
         if self.policy.quantizes(self.qpath):
             pol = self.policy
             # The reference feeds the 4-D (B, H/2, W/2, 4C) map straight
@@ -398,6 +402,15 @@ class PatchMerging(nn.Module):
         return nn.Dense(2 * self.dim, use_bias=False, name="reduction")(x)
 
 
+
+def _norm(eps: float, name: str, compute_dtype):
+    # pin the dtype under the bf16 stream: flax's default dtype inference
+    # would promote bf16 inputs with fp32 scale/bias back to fp32 at every
+    # norm (statistics still accumulate in fp32 internally)
+    import jax.numpy as _jnp
+    dtype = _jnp.dtype(compute_dtype) if compute_dtype is not None else None
+    return nn.LayerNorm(epsilon=eps, dtype=dtype, name=name)
+
 class SwinBlock(nn.Module):
     cfg: SwinConfig
     policy: QuantPolicy
@@ -411,7 +424,7 @@ class SwinBlock(nn.Module):
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         cfg, pol = self.cfg, self.policy
-        h = nn.LayerNorm(epsilon=cfg.ln_eps, name="norm1")(x)
+        h = _norm(cfg.ln_eps, "norm1", cfg.compute_dtype)(x)
         common = dict(dim=self.dim, num_heads=self.num_heads,
                       window_size=cfg.window_size, shift_size=self.shift,
                       attn_drop=cfg.attn_drop_rate, proj_drop=cfg.drop_rate)
@@ -440,7 +453,7 @@ class SwinBlock(nn.Module):
                                   self.make_rng("droppath"))
         x = x + attn_out
 
-        h = nn.LayerNorm(epsilon=cfg.ln_eps, name="norm2")(x)
+        h = _norm(cfg.ln_eps, "norm2", cfg.compute_dtype)(x)
         hidden = int(self.dim * cfg.mlp_ratio)
         # 4-D maps go straight into the (quantized) MLP: the reference's
         # LSQ scale is per width column on (B, H, W, C) inputs
@@ -484,6 +497,8 @@ class SwinTransformer(nn.Module):
             x = nn.Conv(cfg.embed_dim, kernel_size=(P, P), strides=(P, P),
                         padding="VALID", name="patch_embed")(x)
         x = nn.LayerNorm(epsilon=cfg.ln_eps, name="patch_norm")(x)
+        if cfg.compute_dtype is not None:
+            x = x.astype(jnp.dtype(cfg.compute_dtype))
 
         total_blocks = sum(cfg.depths)
         block_id = 0
@@ -509,13 +524,13 @@ class SwinTransformer(nn.Module):
                 x = PatchMerging(
                     dim=dim, policy=pol,
                     qpath=f"features.{feat_idx}.reduction",
-                    ln_eps=cfg.ln_eps,
+                    ln_eps=cfg.ln_eps, compute_dtype=cfg.compute_dtype,
                     name=f"features_{feat_idx}")(x)
                 feat_idx += 1
                 dim *= 2
 
-        x = nn.LayerNorm(epsilon=cfg.ln_eps, name="norm")(x)
-        x = jnp.mean(x, axis=(1, 2))  # global average pool
+        x = _norm(cfg.ln_eps, "norm", cfg.compute_dtype)(x)
+        x = jnp.mean(x, axis=(1, 2)).astype(jnp.float32)  # global average pool
         if pol.quantizes("head"):
             logits = QHeadLinear(cfg.num_classes, name="head")(x)
         else:

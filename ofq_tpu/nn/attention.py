@@ -227,10 +227,14 @@ class QAttentionQKR(nn.Module):
         if self.compute_dtype is not None:
             w_qk = w_qk.astype(self.compute_dtype)
 
-        # qkx[b,h,i,n] = sum_j W_qk[h,i,j] x[b,n,j]   (attention.py:200)
-        qkx = jnp.einsum("hij,bnj->bhin", w_qk, xq)  # (B, H, C, N)
-        # -> (B, N, H*C) for the channel-shift biases (attention.py:201-206)
-        qkx = qkx.transpose(0, 3, 1, 2).reshape(B, N, H * C)
+        # qkx[b,n,h,i] = sum_j x[b,n,j] W_qk[h,i,j]   (attention.py:200).
+        # Layout: keep (B, N, H, C) — the natural matmul output — through
+        # the whole bias/LSQ chain instead of the reference's (B, H, C, N),
+        # avoiding two materialized transposes of the (B, N, H*C) tensor
+        # per block; the N*H-token LSQ reshape is free in this layout and
+        # the final contraction lets XLA choose its own layouts.
+        qkx = jnp.einsum("bnj,hij->bnhi", xq, w_qk)  # (B, N, H, C)
+        qkx = qkx.reshape(B, N, H * C)
         qkx = LearnableBias(H * C, name="move_qkx_b4")(qkx)
         # LSQ with one scale per (token, head) pair on (B, N*H, C)
         qkx = qkx.reshape(B, N * H, C)
@@ -238,10 +242,10 @@ class QAttentionQKR(nn.Module):
                      learnable=self.aq_learnable, name="quan_qkx")(qkx)
         qkx = qkx.reshape(B, N, H * C)
         qkx = LearnableBias(H * C, name="move_qkx_aft")(qkx)
-        qkx = qkx.reshape(B, N, H, C).transpose(0, 2, 3, 1)  # (B, H, C, N)
+        qkx = qkx.reshape(B, N, H, C)
 
         # attn logits: X @ (W_qk X^T)   (attention.py:210)
-        attn = jnp.einsum("bnc,bhcm->bhnm", xq, qkx) * scale
+        attn = jnp.einsum("bnc,bmhc->bhnm", xq, qkx) * scale
         attn = jax.nn.softmax(attn, axis=-1)
         attn_info = None
         if self.qqkkvv:

@@ -11,6 +11,26 @@ import jax
 import jax.numpy as jnp
 
 
+@jax.custom_vjp
+def _bias_add(x: jax.Array, b: jax.Array) -> jax.Array:
+    return x + b.astype(x.dtype)
+
+
+def _bias_add_fwd(x, b):
+    return x + b.astype(x.dtype), None
+
+
+def _bias_add_bwd(res, g):
+    # db accumulates in fp32 even under the bf16 stream (the convert fuses
+    # into the reduce); a raw bf16 sum over B*N terms loses low bits.
+    # The bias param is always fp32, so no residuals are needed.
+    db = jnp.sum(g.astype(jnp.float32), axis=tuple(range(g.ndim - 1)))
+    return g, db
+
+
+_bias_add.defvjp(_bias_add_fwd, _bias_add_bwd)
+
+
 class LearnableBias(nn.Module):
     """Additive bias over the trailing feature axis (qbias.py:5-13)."""
 
@@ -19,7 +39,7 @@ class LearnableBias(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         b = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
-        return x + b.astype(x.dtype)
+        return _bias_add(x, b)
 
 
 class ImageBias(nn.Module):

@@ -37,19 +37,20 @@ class LsqAct(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         if self.bit >= 32:
             return x
-        x32 = x.astype(jnp.float32)
+        # scale init from fp32 first-batch statistics; the quantizer math
+        # itself runs in x's dtype (bf16 under the compute-dtype stream)
         s = self.param(
             "s",
-            lambda rng: init_scale(x32, self.bit, self.all_positive, self.channel_axis),
+            lambda rng: init_scale(x.astype(jnp.float32), self.bit,
+                                   self.all_positive, self.channel_axis),
         )
         if not self.learnable:
             s = jax.lax.stop_gradient(s)
-        y = lsq_quantize(
-            x32, s, self.bit,
+        return lsq_quantize(
+            x, s, self.bit,
             all_positive=self.all_positive,
             channel_axis=self.channel_axis,
         )
-        return y.astype(x.dtype)
 
 
 class LsqWeightIterativeFreezing(nn.Module):

@@ -136,7 +136,10 @@ def lsq_quantize_composed(
     thd_neg, thd_pos = thresholds(bit, all_positive)
     g = grad_scale_factor(x.shape, bit, all_positive, channel_axis)
     s_b = _broadcast_scale(s, x.ndim, channel_axis)
-    s_eff = grad_scale(clip_lower(s_b, _S_EPS), g)
+    # the quantizer math runs in x's dtype (bf16 under the compute-dtype
+    # stream — integer levels are exact in bf16, the dequant multiply is
+    # one rounding); the scale param itself stays fp32 in the pytree
+    s_eff = grad_scale(clip_lower(s_b, _S_EPS), g).astype(x.dtype)
     y = x / s_eff
     if bit == 1 and not all_positive:
         y = jnp.sign(y)
@@ -167,12 +170,15 @@ def _lsq_fused_bwd(bit, all_positive, channel_axis, res, g):
     thd_neg, thd_pos = thresholds(bit, all_positive)
     gf = grad_scale_factor(x.shape, bit, all_positive, channel_axis)
     s_b = _broadcast_scale(s, x.ndim, channel_axis)
-    s_eff = jnp.where(s_b > _S_EPS, s_b, _S_EPS)
+    s_eff = jnp.where(s_b > _S_EPS, s_b, _S_EPS).astype(x.dtype)
     u = x / s_eff
     in_range = (u >= thd_neg) & (u <= thd_pos)
-    dx = jnp.where(in_range, g, 0.0)
-    ds_elem = jnp.where(in_range, jnp.round(u) - u,
-                        jnp.clip(u, thd_neg, thd_pos)) * g
+    dx = jnp.where(in_range, g, jnp.zeros((), g.dtype))
+    # elementwise in x's dtype, accumulation in fp32 (the convert fuses
+    # into the reduce — no fp32 materialization)
+    ds_elem = (jnp.where(in_range, jnp.round(u) - u,
+                         jnp.clip(u, thd_neg, thd_pos)) * g
+               ).astype(jnp.float32)
     if channel_axis is None:
         ds = jnp.sum(ds_elem).reshape(s.shape) * gf
     else:

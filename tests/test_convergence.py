@@ -21,8 +21,10 @@ TINY = DeiTConfig(img_size=16, patch_size=8, embed_dim=24, depth=2,
 
 
 def _overfit(policy, loss_kind="ce", steps=40, cga=None, teacher=None,
-             tparams=None, lr=5e-3):
-    model = VisionTransformer(cfg=TINY, policy=policy)
+             tparams=None, lr=5e-3, compute_dtype=None):
+    cfg = (dataclasses.replace(TINY, compute_dtype=compute_dtype)
+           if compute_dtype else TINY)
+    model = VisionTransformer(cfg=cfg, policy=policy)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(8, 16, 16, 3)), jnp.float32)
     batch = {"image": x, "label": jnp.arange(8) % 4}
@@ -61,6 +63,19 @@ class TestOverfit:
         losses = _overfit(
             pol, cga=dict(bits=2, boundary_range=0.005, qk_reparam=True))
         assert losses[-1] < 0.7 * losses[0], losses[::8]
+
+    def test_bf16_stream_learns(self):
+        # the TPU speed path (--compute-dtype bfloat16) runs the token
+        # stream AND the fake-quant chains in bf16; gradients must still
+        # flow and the loss trajectory must track the fp32 run
+        pol = policy_from_args(wq_bitw=2, aq_bitw=2,
+                               qmodules=default_deit_qmodules(2),
+                               qk_reparam=True)
+        losses = _overfit(pol, compute_dtype="bfloat16")
+        assert losses[-1] < 0.5 * losses[0], losses[::8]
+        ref = _overfit(pol)
+        # same order of magnitude of progress as fp32 (not bit-identical)
+        assert losses[-1] < 2.0 * ref[-1] + 0.1, (losses[-1], ref[-1])
 
     def test_kd_learns(self):
         pol = policy_from_args(wq_bitw=3, aq_bitw=3,
