@@ -51,23 +51,25 @@ class Attention(nn.Module):
         d = C // H
         scale = d ** -0.5
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, name="qkv")(x)
-        qkv = qkv.reshape(B, N, 3, H, d).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]  # (B, H, N, d)
+        # keep the natural (B, N, H, d) layout — no materialized 5-D
+        # transpose; the einsums below carry the head axis in place and
+        # XLA folds the layouts into the dots
+        qkv = qkv.reshape(B, N, 3, H, d)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, d)
 
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
         attn = jax.nn.softmax(attn, axis=-1)
         attn_info = None
         if self.qqkkvv:
             sq = 1.0 / jnp.sqrt(d)
             attn_info = (
                 attn,
-                jnp.einsum("bhnd,bhmd->bhnm", q, q) * sq,
-                jnp.einsum("bhnd,bhmd->bhnm", k, k) * sq,
-                jnp.einsum("bhnd,bhmd->bhnm", v, v) * sq,
+                jnp.einsum("bnhd,bmhd->bhnm", q, q) * sq,
+                jnp.einsum("bnhd,bmhd->bhnm", k, k) * sq,
+                jnp.einsum("bnhd,bmhd->bhnm", v, v) * sq,
             )
         attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
         out = nn.Dense(C, name="proj")(out)
         out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
         return out, attn_info
@@ -111,29 +113,32 @@ class QAttention(nn.Module):
         qkv = linear_cls(3 * C, name="qkv", **lin_kwargs)(x)
         if self.input_bits < 32:
             qkv = LearnableBias(3 * C, name="move_qkv_b4")(qkv)
-        qkv = qkv.reshape(B, N, 3, H, d).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]  # (B, H, N, d)
+        # keep the natural (B, N, H, d) layout throughout — no materialized
+        # (B,H,N,d) transposes; the per-token LSQ scale rides axis 1, which
+        # is numerically identical to the reference's axis -2 on (B,H,N,d)
+        # (same scale shape (N,), same group numel B*H*d, attention.py:77-78)
+        qkv = qkv.reshape(B, N, 3, H, d)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, d)
 
-        # q, k: per-token scales on the (B,H,N,d) layout (attention.py:77-78)
-        q = LsqAct(self.input_bits, channel_axis=-2,
+        q = LsqAct(self.input_bits, channel_axis=1,
                    learnable=self.aq_learnable, name="quan_q")(q)
-        k = LsqAct(self.input_bits, channel_axis=-2,
+        k = LsqAct(self.input_bits, channel_axis=1,
                    learnable=self.aq_learnable, name="quan_k")(k)
         # v: per-channel scale on (B,N,C) (attention.py:80-82)
-        v = v.transpose(0, 2, 1, 3).reshape(B, N, C)
+        v = v.reshape(B, N, C)
         v = LsqAct(self.input_bits, channel_axis=-1,
                    learnable=self.aq_learnable, name="quan_v")(v)
         if self.input_bits < 32:
-            q = q.transpose(0, 2, 1, 3).reshape(B, N, C)
-            k = k.transpose(0, 2, 1, 3).reshape(B, N, C)
+            q = q.reshape(B, N, C)
+            k = k.reshape(B, N, C)
             q = LearnableBias(C, name="move_q_aft")(q)
             k = LearnableBias(C, name="move_k_aft")(k)
             v = LearnableBias(C, name="move_v_aft")(v)
-            q = q.reshape(B, N, H, d).transpose(0, 2, 1, 3)
-            k = k.reshape(B, N, H, d).transpose(0, 2, 1, 3)
-        v = v.reshape(B, N, H, d).transpose(0, 2, 1, 3)
+            q = q.reshape(B, N, H, d)
+            k = k.reshape(B, N, H, d)
+        v = v.reshape(B, N, H, d)
 
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
         attn = jax.nn.softmax(attn, axis=-1)
         attn_info = None
         if self.qqkkvv:
@@ -144,16 +149,15 @@ class QAttention(nn.Module):
             sq = 1.0 / jnp.sqrt(d)
             attn_info = (
                 attn,
-                jnp.einsum("bhnd,bhmd->bhnm", q, q) * sq,
-                jnp.einsum("bhnd,bhmd->bhnm", k, k) * sq,
-                jnp.einsum("bhnd,bhmd->bhnm", v, v) * sq,
+                jnp.einsum("bnhd,bmhd->bhnm", q, q) * sq,
+                jnp.einsum("bnhd,bmhd->bhnm", k, k) * sq,
+                jnp.einsum("bnhd,bmhd->bhnm", v, v) * sq,
             )
         if self.quantize_softmax:
             attn = LsqAct(self.input_bits, all_positive=True, channel_axis=-2,
                           learnable=self.aq_learnable, name="quan_softmax")(attn)
         attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
         out = linear_cls(C, name="proj", **lin_kwargs)(out)
         out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
         return out, attn_info
@@ -209,7 +213,7 @@ class QAttentionQKR(nn.Module):
         v_out = LsqAct(self.input_bits, channel_axis=-1,
                        learnable=self.aq_learnable, name="quan_v")(v_out)
         v_out = LearnableBias(C, name="move_v_aft")(v_out)
-        v = v_out.reshape(B, N, H, d).transpose(0, 2, 1, 3)  # (B,H,N,d)
+        v = v_out.reshape(B, N, H, d)  # natural layout, no transpose
 
         # Per-head W_qk = Wq^T @ Wk, StatsQ'd as one (H*C, C) matrix
         # (attention.py:190-196).  Flax kernels are (in=C, out=C); the
@@ -257,20 +261,19 @@ class QAttentionQKR(nn.Module):
             # quantized input, and the v Gram from the quantized v path —
             # the closest QKR analog of deit_vision_transformer.py:105-119.
             sq = 1.0 / jnp.sqrt(d)
-            qf = (xq @ q_kernel).reshape(B, N, H, d).transpose(0, 2, 1, 3)
-            kf = (xq @ k_kernel).reshape(B, N, H, d).transpose(0, 2, 1, 3)
+            qf = (xq @ q_kernel.astype(xq.dtype)).reshape(B, N, H, d)
+            kf = (xq @ k_kernel.astype(xq.dtype)).reshape(B, N, H, d)
             attn_info = (
                 attn,
-                jnp.einsum("bhnd,bhmd->bhnm", qf, qf) * sq,
-                jnp.einsum("bhnd,bhmd->bhnm", kf, kf) * sq,
-                jnp.einsum("bhnd,bhmd->bhnm", v, v) * sq,
+                jnp.einsum("bnhd,bmhd->bhnm", qf, qf) * sq,
+                jnp.einsum("bnhd,bmhd->bhnm", kf, kf) * sq,
+                jnp.einsum("bnhd,bmhd->bhnm", v, v) * sq,
             )
         if self.quantize_softmax:
             attn = LsqAct(self.input_bits, all_positive=True, channel_axis=-2,
                           learnable=self.aq_learnable, name="quan_softmax")(attn)
         attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
         out = QLinear(
             C, weight_bits=self.weight_bits, input_bits=self.input_bits,
             symmetric=True, aq_learnable=self.aq_learnable,
