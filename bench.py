@@ -4,13 +4,24 @@ Measures the full reference recipe step (student fwd/bwd through every
 fake-quant STE, FP teacher forward, KD soft+hard loss, AdamW update) on
 synthetic data — the exact hot loop of train_scripts/deit_s/w2a2_deit_s.sh.
 
+Headline configuration: the TPU speed path (--compute-dtype bfloat16 —
+bf16 token stream + quantizer math, fp32 master weights; convergence-
+tested against fp32 in tests/test_convergence.py).  Secondary numbers
+cover the bit-faithful fp32 path and the opt-in Pallas kernels
+(--matmul-impl pallas/fused), all executed on the real chip.
+
 Baseline: the reference publishes no throughput numbers (SURVEY.md §6);
 its training hardware is 4-8 A100-class GPUs.  We anchor vs_baseline to an
 estimated 320 img/s per A100 for this workload (FP32 DeiT-S fwd+bwd+teacher
 with per-tensor fake-quant overhead in torch eager), i.e. vs_baseline =
 imgs_per_sec_per_chip / 320.  BENCH_r*.json history tracks the trend.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+MFU is reported against the measured steady-state bf16 matmul rate of
+this chip (benchmarks/chip_calibration.py: ~234 TFLOP/s pipelined) using
+the step's analytic FLOP count (student fwd+bwd incl. QKR einsums +
+teacher fwd).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
@@ -18,16 +29,29 @@ import sys
 import time
 
 import jax
+
+# persistent compilation cache: the four configs below compile once per
+# machine; subsequent bench runs (incl. the driver's) start in seconds
+jax.config.update("jax_compilation_cache_dir", "/tmp/ofq_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import jax.numpy as jnp
 import numpy as np
 
 A100_ESTIMATE_IMGS_PER_SEC = 320.0
+MEASURED_PEAK_TFLOPS = 234.0  # benchmarks/chip_calibration.py, pipelined bf16
 BATCH = 128
 WARMUP = 3
 ITERS = 10
 
+# Analytic FLOPs per image for the measured workload (B=128, N=198, C=384,
+# H=6, 12 blocks, DeiT-S QKR student fwd+bwd(2x) + fp teacher fwd):
+#   student fwd ~= 10.6 GFLOP (4.2 base + 4.2 qkx einsum + 2.2 attn einsums)
+#   teacher fwd ~=  4.6 GFLOP
+STEP_GFLOPS_PER_IMG = 10.6 * 3 + 4.6
 
-def main():
+
+def build(matmul_impl=None, compute_dtype=None, batch=BATCH):
     from ofq_tpu.models import deit_model
     from ofq_tpu.quant import default_deit_qmodules, policy_from_args
     from ofq_tpu.train import TrainState, make_optimizer, make_train_step
@@ -36,13 +60,15 @@ def main():
     policy = policy_from_args(
         wq_bitw=2, aq_bitw=2, qmodules=default_deit_qmodules(12),
         qk_reparam=True, qk_reparam_type=0)
-    student = deit_model("deit_small_distilled_patch16_224", policy=policy)
-    teacher = deit_model("deit_small_distilled_patch16_224")
+    student = deit_model("deit_small_distilled_patch16_224", policy=policy,
+                         matmul_impl=matmul_impl, compute_dtype=compute_dtype)
+    teacher = deit_model("deit_small_distilled_patch16_224",
+                         compute_dtype=compute_dtype)
 
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.normal(size=(BATCH, 224, 224, 3)), jnp.float32)
-    labels = jnp.asarray(rng.integers(0, 1000, size=(BATCH,)), jnp.int32)
-    batch = {"image": x, "label": labels}
+    x = jnp.asarray(rng.normal(size=(batch, 224, 224, 3)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 1000, size=(batch,)), jnp.int32)
+    batch_d = {"image": x, "label": labels}
 
     sparams = jax.jit(
         lambda k, xx: student.init({"params": k}, xx, train=False)
@@ -50,43 +76,71 @@ def main():
     tparams = jax.jit(
         lambda k, xx: teacher.init({"params": k}, xx, train=False)
     )(jax.random.key(1), x[:8])["params"]
+    if compute_dtype == "bfloat16":
+        tparams = jax.tree.map(lambda p: p.astype(jnp.bfloat16), tparams)
 
     lr_fn = cosine_with_warmup_cooldown(
         5.47e-4, epochs=300, warmup_epochs=5, warmup_lr=1e-6, min_lr=1e-5)
     tx = make_optimizer(lr_fn, weight_decay=0.05)
     state = jax.jit(lambda p: TrainState.create(p, tx))(sparams)
-
     step = jax.jit(
         make_train_step(student, tx, teacher=teacher,
                         loss_kind="kd_soft_hard"),
         donate_argnums=(0,))
+    return step, state, batch_d, tparams
 
+
+def measure(matmul_impl=None, compute_dtype=None, iters=ITERS,
+            batch=BATCH, rounds=3):
+    step, state, batch_d, tparams = build(matmul_impl, compute_dtype, batch)
     key = jax.random.key(2)
-    for i in range(WARMUP):
-        state, metrics = step(state, batch, jax.random.fold_in(key, i), tparams)
+    n = 0
+    for _ in range(WARMUP if rounds > 1 else 1):
+        state, metrics = step(state, batch_d, jax.random.fold_in(key, n),
+                              tparams)
+        n += 1
     # NOTE: under the axon TPU tunnel block_until_ready returns before the
     # remote execution finishes; a host fetch is the only true barrier.
-    float(metrics["loss"])
-
+    loss = float(metrics["loss"])
+    assert np.isfinite(loss), f"non-finite loss under {matmul_impl}"
     # the tunnel chip shows high run-to-run variance; report the best of
     # three timed rounds (closest to the machine's actual capability)
     times = []
-    n = WARMUP
-    for _ in range(3):
+    for _ in range(rounds):
         t0 = time.perf_counter()
-        for i in range(ITERS):
+        for _ in range(iters):
             state, metrics = step(
-                state, batch, jax.random.fold_in(key, n), tparams)
+                state, batch_d, jax.random.fold_in(key, n), tparams)
             n += 1
         float(metrics["loss"])  # host fetch == completion barrier
         times.append(time.perf_counter() - t0)
+    return batch * iters / min(times)
 
-    imgs_per_sec = BATCH * ITERS / min(times)
+
+def main():
+    # headline: the TPU speed path (bf16 stream, XLA attention/matmuls)
+    imgs_per_sec = measure(compute_dtype="bfloat16")
+    mfu = (imgs_per_sec * STEP_GFLOPS_PER_IMG / 1e3) / MEASURED_PEAK_TFLOPS
+    secondary = {}
+    # bit-faithful fp32 reference path
+    secondary["fp32_imgs_per_sec"] = round(measure(iters=5, rounds=2), 1)
+    # opt-in kernel smokes on the real chip (few steps, finite-loss check)
+    for impl in ("pallas", "fused"):
+        try:
+            secondary[f"{impl}_imgs_per_sec"] = round(
+                measure(matmul_impl=impl, compute_dtype="bfloat16",
+                        iters=3, rounds=1), 1)
+        except Exception as e:  # pragma: no cover - smoke guard
+            secondary[f"{impl}_imgs_per_sec"] = f"ERROR: {e}"
+
     print(json.dumps({
         "metric": "deit_s_w2a2_qkr_qat_train_throughput",
         "value": round(imgs_per_sec, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(imgs_per_sec / A100_ESTIMATE_IMGS_PER_SEC, 3),
+        "mfu_vs_measured_peak": round(mfu, 3),
+        "config": "bf16 stream (fp32 masters), XLA attn+matmul, B=128",
+        "secondary": secondary,
     }))
 
 

@@ -38,7 +38,7 @@ ITERS = 10
 ROUNDS = 3
 
 
-def build(variant: str, batch: int, dtype: str = None):
+def build(variant: str, batch: int, dtype: str = None, attn_impl=None):
     from ofq_tpu.models import deit_model
     from ofq_tpu.quant import default_deit_qmodules, policy_from_args
     from ofq_tpu.train import TrainState, make_optimizer, make_train_step
@@ -54,7 +54,7 @@ def build(variant: str, batch: int, dtype: str = None):
         from ofq_tpu.quant import QuantPolicy
         policy = QuantPolicy()
     student = deit_model("deit_small_distilled_patch16_224", policy=policy,
-                         compute_dtype=compute_dtype)
+                         compute_dtype=compute_dtype, attn_impl=attn_impl)
     teacher = deit_model("deit_small_distilled_patch16_224",
                          compute_dtype=compute_dtype)
 
@@ -95,8 +95,9 @@ def build(variant: str, batch: int, dtype: str = None):
     return step, state, batch_d, tparams
 
 
-def time_variant(variant: str, batch: int, iters: int, dtype=None) -> dict:
-    step, state, batch_d, tparams = build(variant, batch, dtype)
+def time_variant(variant: str, batch: int, iters: int, dtype=None,
+                 attn_impl=None) -> dict:
+    step, state, batch_d, tparams = build(variant, batch, dtype, attn_impl)
     key = jax.random.key(2)
     n = 0
     t_c0 = time.perf_counter()
@@ -116,7 +117,8 @@ def time_variant(variant: str, batch: int, iters: int, dtype=None) -> dict:
         float(metrics["loss"])
         times.append(time.perf_counter() - t0)
     ms = min(times) / iters * 1e3
-    return {"variant": variant + (f"+{dtype}" if dtype else ""),
+    return {"variant": variant + (f"+{dtype}" if dtype else "")
+                       + (f"+{attn_impl}" if attn_impl else ""),
             "batch": batch, "step_ms": round(ms, 1),
             "imgs_per_sec": round(batch * 1e3 / ms, 1),
             "compile_s": round(compile_s, 1)}
@@ -129,10 +131,12 @@ def main():
     ap.add_argument("--iters", type=int, default=ITERS)
     ap.add_argument("--dtype", default=None,
                     help="force compute_dtype for every variant")
+    ap.add_argument("--attn-impl", dest="attn_impl", default=None)
     args = ap.parse_args()
     results = []
     for v in args.variants.split(","):
-        r = time_variant(v.strip(), args.batch, args.iters, args.dtype)
+        r = time_variant(v.strip(), args.batch, args.iters, args.dtype,
+                         args.attn_impl)
         print(json.dumps(r), flush=True)
         results.append(r)
     return results

@@ -169,6 +169,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "fp32 (BASELINE config 5's bf16 master weights)")
     p.add_argument("--matmul-impl", dest="matmul_impl", default="xla",
                    choices=["xla", "pallas", "fused"])
+    p.add_argument("--attn-impl", dest="attn_impl", default="auto",
+                   choices=["auto", "xla", "fused", "remat"],
+                   help="attention backend: XLA composition (default — "
+                        "measured fastest end-to-end), 'fused' Pallas "
+                        "softmax/LSQ/attn@v core, or 'remat' checkpointed "
+                        "tail; all parity-tested")
     p.add_argument("--max-steps", dest="max_steps", type=int, default=None,
                    help="hard stop after N optimizer steps (smoke runs)")
     p.add_argument("--matmul-precision", dest="matmul_precision",

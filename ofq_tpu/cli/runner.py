@@ -66,6 +66,13 @@ def build_model(args, policy, *, teacher: bool = False):
         # TPU speed-path flags apply to both DeiT and Swin students
         if args.matmul_impl and args.matmul_impl != "xla":
             over["matmul_impl"] = args.matmul_impl
+        attn_impl = getattr(args, "attn_impl", "auto")
+        if attn_impl == "auto":
+            # measured on v5e (docs/DESIGN.md §5): the XLA composition
+            # beats both the Pallas core and the remat tail end-to-end
+            attn_impl = None
+        if attn_impl and attn_impl != "xla" and mtype == "deit":
+            over["attn_impl"] = attn_impl
     if args.compute_dtype and args.compute_dtype != "float32":
         # the bf16 stream applies to the teacher too (its forward is ~25%
         # of the step FLOPs and carries no quantizer state to protect)

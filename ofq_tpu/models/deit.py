@@ -62,6 +62,10 @@ class DeiTConfig:
     norm_layer: str = "layernorm"
     # matmul backend for quantized linears: None/'xla' | 'pallas' | 'fused'
     matmul_impl: Optional[str] = None
+    # attention backend: None/'xla' | 'fused' (Pallas softmax/LSQ/attn@v
+    # core; falls back to the composition when dropout/qqkkvv need the
+    # materialized probabilities)
+    attn_impl: Optional[str] = None
     # return per-block token features for token-KD (KLTokenMSELoss):
     # the aux output becomes {'attn_infos': ..., 'features': [...]}
     return_features: bool = False
@@ -137,7 +141,8 @@ class Block(nn.Module):
                     attn_drop=q_attn_drop, proj_drop=cfg.drop_rate,
                     qqkkvv=cfg.qqkkvv, compute_dtype=cfg.compute_dtype,
                     quantize_softmax=pol.quantize_softmax,
-                    matmul_impl=cfg.matmul_impl, name="attn")
+                    matmul_impl=cfg.matmul_impl, attn_impl=cfg.attn_impl,
+                    name="attn")
             else:
                 attn = QAttention(
                     num_heads=cfg.num_heads,
@@ -149,7 +154,8 @@ class Block(nn.Module):
                     wq_all_positive=not pol.weight.symmetric,
                     quantize_softmax=pol.quantize_softmax,
                     compute_dtype=cfg.compute_dtype,
-                    matmul_impl=cfg.matmul_impl, name="attn")
+                    matmul_impl=cfg.matmul_impl, attn_impl=cfg.attn_impl,
+                    name="attn")
         else:
             attn = Attention(
                 num_heads=cfg.num_heads, qkv_bias=True,

@@ -35,6 +35,81 @@ from .linear import LsqLinear, QLinear
 from .quantizers import LsqAct
 
 
+class _SoftmaxScaleParam(nn.Module):
+    """Param container matching LsqAct's tree path ('quan_softmax/s').
+
+    Used by the fused-attention fast path: the scale's data-dependent init
+    happens on the XLA composition branch (taken whenever
+    `is_initializing()`), so the init fn here is never invoked — it exists
+    only to satisfy the param declaration during apply.
+    """
+
+    n_tokens: int
+
+    @nn.compact
+    def __call__(self) -> jax.Array:
+        return self.param(
+            "s", lambda rng: jnp.ones((self.n_tokens,), jnp.float32))
+
+
+def _remat_attention_tail(lhs, rhs, v, scale_param, *, bits, sm_scale,
+                          quantize_softmax, aq_learnable, einsum_spec):
+    """XLA-level flash: the attention tail (scores -> softmax -> LSQ ->
+    @v) under jax.checkpoint, so its (B,H,N,N) intermediates are
+    rematerialized in backward instead of being stored as residuals —
+    the same HBM saving the Pallas core targets, but with XLA keeping
+    control of layouts and fusion."""
+    from ..quant.lsq import grad_scale_factor, lsq_quantize
+    from ..quant.ste import clip_lower, grad_scale
+
+    B, N, H, _ = rhs.shape
+    if quantize_softmax:
+        gf = grad_scale_factor((B, H, N, N), bits, True, -2)
+        s = grad_scale(clip_lower(scale_param, 1e-5), gf)
+        if not aq_learnable:
+            s = jax.lax.stop_gradient(s)
+    else:
+        s = None
+
+    @jax.checkpoint
+    def tail(lhs, rhs, v, s):
+        attn = jnp.einsum(einsum_spec, lhs, rhs) * sm_scale
+        attn = jax.nn.softmax(attn, axis=-1)
+        if quantize_softmax:
+            # scale pre-processed above; raw lsq math with identity factor
+            thd = 2 ** bits - 1
+            sb = s[None, None, :, None].astype(attn.dtype)
+            u = jnp.clip(attn / sb, 0, thd)
+            attn = (u + jax.lax.stop_gradient(jnp.round(u) - u)) * sb
+        return jnp.einsum("bhnm,bmhd->bnhd", attn, v)
+
+    return tail(lhs, rhs, v, s)
+
+
+def _fused_attention(lhs, rhs, v, scale_param, *, bits, sm_scale,
+                     quantize_softmax, aq_learnable):
+    """Shared glue for the fused attention core: applies the composition's
+    exact scale semantics (eps clip with identity grad + grad-scale factor)
+    then calls the Pallas kernel.  lhs (B,N,K) or (B,N,H,K); rhs/v
+    (B,N,H,·); returns (B,N,H,d)."""
+    from ..ops.fused_attention import quantized_attention_core
+    from ..quant.lsq import grad_scale_factor
+    from ..quant.ste import clip_lower, grad_scale
+
+    B, N, H, _ = rhs.shape
+    if quantize_softmax:
+        gf = grad_scale_factor((B, H, N, N), bits, True, -2)
+        s = grad_scale(clip_lower(scale_param, 1e-5), gf)
+        if not aq_learnable:
+            s = jax.lax.stop_gradient(s)
+    else:
+        s = jnp.ones((N,), jnp.float32)
+    return quantized_attention_core(
+        lhs, rhs, v, s, bits=bits, sm_scale=sm_scale,
+        quantize_softmax=quantize_softmax,
+        interpret=jax.default_backend() == "cpu")
+
+
 class Attention(nn.Module):
     """Float MHSA returning (out, attn_info)."""
 
@@ -92,6 +167,7 @@ class QAttention(nn.Module):
     # (see QuantPolicy.q_attn_mode; dropout gating happens via attn_drop)
     quantize_softmax: bool = True
     matmul_impl: Optional[str] = None
+    attn_impl: Optional[str] = None  # 'fused' -> Pallas attention core
     compute_dtype: Optional[object] = None
 
     @nn.compact
@@ -138,26 +214,47 @@ class QAttention(nn.Module):
             k = k.reshape(B, N, H, d)
         v = v.reshape(B, N, H, d)
 
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
-        attn = jax.nn.softmax(attn, axis=-1)
         attn_info = None
-        if self.qqkkvv:
-            # capability superset: the reference's QAttention accepts
-            # qqkkvv but always returns None (attention.py:105), making
-            # kd_hard_and_soft=2/3 unusable with quantized students; we
-            # emit the Gram matrices of the quantized q/k/v instead.
-            sq = 1.0 / jnp.sqrt(d)
-            attn_info = (
-                attn,
-                jnp.einsum("bnhd,bmhd->bhnm", q, q) * sq,
-                jnp.einsum("bnhd,bmhd->bhnm", k, k) * sq,
-                jnp.einsum("bnhd,bmhd->bhnm", v, v) * sq,
-            )
-        if self.quantize_softmax:
-            attn = LsqAct(self.input_bits, all_positive=True, channel_axis=-2,
-                          learnable=self.aq_learnable, name="quan_softmax")(attn)
-        attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
+        fused_ok = (
+            self.attn_impl in ("fused", "remat") and not self.qqkkvv
+            and (self.attn_drop == 0.0 or deterministic)
+            and not self.is_initializing())
+        if fused_ok:
+            # Pallas fused softmax/LSQ/attn@v core (see QAttentionQKR)
+            sp = (_SoftmaxScaleParam(N, name="quan_softmax")()
+                  if self.quantize_softmax else None)
+            if self.attn_impl == "fused":
+                out = _fused_attention(
+                    q, k, v, sp, bits=self.input_bits, sm_scale=scale,
+                    quantize_softmax=self.quantize_softmax,
+                    aq_learnable=self.aq_learnable).reshape(B, N, C)
+            else:
+                out = _remat_attention_tail(
+                    q, k, v, sp, bits=self.input_bits, sm_scale=scale,
+                    quantize_softmax=self.quantize_softmax,
+                    aq_learnable=self.aq_learnable,
+                    einsum_spec="bnhd,bmhd->bhnm").reshape(B, N, C)
+        else:
+            attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
+            attn = jax.nn.softmax(attn, axis=-1)
+            if self.qqkkvv:
+                # capability superset: the reference's QAttention accepts
+                # qqkkvv but always returns None (attention.py:105), making
+                # kd_hard_and_soft=2/3 unusable with quantized students; we
+                # emit the Gram matrices of the quantized q/k/v instead.
+                sq = 1.0 / jnp.sqrt(d)
+                attn_info = (
+                    attn,
+                    jnp.einsum("bnhd,bmhd->bhnm", q, q) * sq,
+                    jnp.einsum("bnhd,bmhd->bhnm", k, k) * sq,
+                    jnp.einsum("bnhd,bmhd->bhnm", v, v) * sq,
+                )
+            if self.quantize_softmax:
+                attn = LsqAct(self.input_bits, all_positive=True,
+                              channel_axis=-2, learnable=self.aq_learnable,
+                              name="quan_softmax")(attn)
+            attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
         out = linear_cls(C, name="proj", **lin_kwargs)(out)
         out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
         return out, attn_info
@@ -185,6 +282,7 @@ class QAttentionQKR(nn.Module):
     qqkkvv: bool = False
     quantize_softmax: bool = True
     matmul_impl: Optional[str] = None
+    attn_impl: Optional[str] = None  # 'fused' -> Pallas attention core
     compute_dtype: Optional[object] = None
 
     @nn.compact
@@ -247,6 +345,38 @@ class QAttentionQKR(nn.Module):
         qkx = qkx.reshape(B, N, H * C)
         qkx = LearnableBias(H * C, name="move_qkx_aft")(qkx)
         qkx = qkx.reshape(B, N, H, C)
+
+        # Fused Pallas fast path: scores -> softmax -> LSQ -> @v per
+        # (batch, head) cell in VMEM, flash-style recompute backward —
+        # no (B,H,N,N) tensor ever reaches HBM.  Eligible whenever the
+        # materialized probabilities aren't needed (no Gram telemetry,
+        # no attention dropout); init-time always takes the composition
+        # so the quan_softmax scale gets its data-dependent init.
+        fused_ok = (
+            self.attn_impl in ("fused", "remat") and not self.qqkkvv
+            and (self.attn_drop == 0.0 or deterministic)
+            and not self.is_initializing())
+        if fused_ok:
+            sp = (_SoftmaxScaleParam(N, name="quan_softmax")()
+                  if self.quantize_softmax else None)
+            if self.attn_impl == "fused":
+                out = _fused_attention(
+                    xq, qkx, v, sp, bits=self.input_bits, sm_scale=scale,
+                    quantize_softmax=self.quantize_softmax,
+                    aq_learnable=self.aq_learnable).reshape(B, N, C)
+            else:
+                out = _remat_attention_tail(
+                    xq, qkx, v, sp, bits=self.input_bits, sm_scale=scale,
+                    quantize_softmax=self.quantize_softmax,
+                    aq_learnable=self.aq_learnable,
+                    einsum_spec="bnc,bmhc->bhnm").reshape(B, N, C)
+            out = QLinear(
+                C, weight_bits=self.weight_bits, input_bits=self.input_bits,
+                symmetric=True, aq_learnable=self.aq_learnable,
+                matmul_impl=self.matmul_impl, compute_dtype=self.compute_dtype,
+                name="proj")(out)
+            out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
+            return out, None
 
         # attn logits: X @ (W_qk X^T)   (attention.py:210)
         attn = jnp.einsum("bnc,bmhc->bhnm", xq, qkx) * scale

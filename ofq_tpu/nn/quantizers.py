@@ -26,6 +26,13 @@ class LsqAct(nn.Module):
       -2   -> per-token scale (`LsqQuantizer`, lsq.py:515)
       -1   -> per-channel scale (`LsqQuantizer4v`, lsq.py:701)
       None -> per-tensor scale (`LsqQuantizer4head_input`, lsq.py:448)
+      1 on (B,H,N,d) -> per-head scale (`LsqQuantizer_only_headwise`,
+           lsq.py:612-699: scale shape (H,), grad factor
+           1/sqrt(thd_pos*B*N*d), init mean over all axes but H — the
+           generic-axis machinery reproduces its formulas exactly;
+           golden-tested in tests/test_quant_core.py)
+      1 on (B,N,H,d) -> per-token scale in the transpose-free attention
+           layout (numerically identical to -2 on (B,H,N,d))
     """
 
     bit: int

@@ -64,6 +64,31 @@ class TestParse:
         assert pol.qk_reparam
         assert "blocks.11.mlp" in pol.qmodules  # from the YAML qmodules
 
+    def test_reference_yaml_files_parse_unchanged(self):
+        # migration check: the reference's OWN config files (-c <ref yaml>)
+        # drive our CLI directly — unknown GPU-era keys are dropped, the
+        # qmodules policy list and data/aug/optimizer defaults carry over
+        import glob
+        import os
+
+        ref_cfgs = sorted(glob.glob("/root/reference/configs/*.yml"))
+        if not ref_cfgs:
+            import pytest
+
+            pytest.skip("reference tree not mounted")
+        for cfg in ref_cfgs:
+            args = parse_args([
+                "-c", cfg, "--quantized", "--wq-enable", "--wq-bitw", "2",
+                "--wq-mode", "statsq", "--aq-enable", "--aq-mode", "lsq",
+                "--aq-bitw", "2"])
+            pol = policy_from_namespace(args)
+            assert pol.qmodules, cfg
+            assert args.aa == "rand-m9-mstd0.5-inc1", cfg
+            if "swin" in os.path.basename(cfg):
+                assert any("features" in m for m in pol.qmodules), cfg
+            else:
+                assert "blocks.11.mlp" in pol.qmodules, cfg
+
     def test_unquantized_default_is_float(self):
         args = parse_args([])
         pol = policy_from_namespace(args)

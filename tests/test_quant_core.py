@@ -254,6 +254,31 @@ class TestLSQ:
         assert grad_scale_factor((4, 5), 2, True, None) == pytest.approx(
             1.0 / np.sqrt(3 * 20)
         )
+        # (B,H,N,d) axis 1 == LsqQuantizer_only_headwise (lsq.py:679):
+        # 1/sqrt(thd*B*N*d)
+        assert grad_scale_factor((4, 3, 197, 64), 2, False, 1) == pytest.approx(
+            1.0 / np.sqrt(1 * 4 * 197 * 64)
+        )
+
+    def test_headwise_matches_reference_formulas(self):
+        """LsqAct(channel_axis=1) on (B,H,N,d) IS the reference's
+        LsqQuantizer_only_headwise (lsq.py:612-699): scale shape (H,),
+        init 2*mean|x| over (B,N,d)/sqrt(thd), value = s*round(clamp(x/s)).
+        """
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.normal(size=(2, 3, 5, 4)), jnp.float32)
+        # init (lsq.py:644-646, signed branch)
+        got_init = init_scale(x, 3, False, 1)
+        want_init = 2 * np.mean(np.abs(np.asarray(x)), axis=(0, 2, 3)) / np.sqrt(3)
+        np.testing.assert_allclose(got_init, want_init, rtol=1e-6)
+        # forward (lsq.py:685-691)
+        from ofq_tpu.quant.lsq import lsq_quantize
+
+        s = jnp.asarray([0.07, 0.11, 0.05], jnp.float32)
+        got = np.asarray(lsq_quantize(x, s, 3, channel_axis=1))
+        sb = np.asarray(s)[None, :, None, None]
+        want = sb * np.round(np.clip(np.asarray(x) / sb, -4, 3))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
     def test_init_scale(self):
         x = np.abs(np.random.default_rng(7).normal(size=(2, 3, 4))).astype(np.float32)
