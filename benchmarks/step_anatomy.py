@@ -45,18 +45,30 @@ def build(variant: str, batch: int, dtype: str = None, attn_impl=None):
     from ofq_tpu.train.schedule import cosine_with_warmup_cooldown
 
     quantized = variant != "fp"
-    compute_dtype = dtype if dtype else ("bfloat16" if variant == "bf16" else None)
-    if quantized:
+    compute_dtype = dtype if dtype else ("bf16" in variant and "bfloat16" or None)
+    if variant.startswith("swin"):
+        # Swin-T W2A2 QKR step (BASELINE config 4 workload)
+        from ofq_tpu.models import create_model
+        from ofq_tpu.quant import default_swin_qmodules
+
         policy = policy_from_args(
-            wq_bitw=2, aq_bitw=2, qmodules=default_deit_qmodules(12),
-            qk_reparam=(variant != "noqkr"), qk_reparam_type=0)
+            wq_bitw=2, aq_bitw=2, qmodules=default_swin_qmodules(),
+            qk_reparam=True, qk_reparam_type=0)
+        student = create_model("swin_t", policy=policy,
+                               compute_dtype=compute_dtype)
+        teacher = create_model("swin_t", compute_dtype=compute_dtype)
     else:
-        from ofq_tpu.quant import QuantPolicy
-        policy = QuantPolicy()
-    student = deit_model("deit_small_distilled_patch16_224", policy=policy,
-                         compute_dtype=compute_dtype, attn_impl=attn_impl)
-    teacher = deit_model("deit_small_distilled_patch16_224",
-                         compute_dtype=compute_dtype)
+        if quantized:
+            policy = policy_from_args(
+                wq_bitw=2, aq_bitw=2, qmodules=default_deit_qmodules(12),
+                qk_reparam=(variant != "noqkr"), qk_reparam_type=0)
+        else:
+            from ofq_tpu.quant import QuantPolicy
+            policy = QuantPolicy()
+        student = deit_model("deit_small_distilled_patch16_224", policy=policy,
+                             compute_dtype=compute_dtype, attn_impl=attn_impl)
+        teacher = deit_model("deit_small_distilled_patch16_224",
+                             compute_dtype=compute_dtype)
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(batch, 224, 224, 3)), jnp.float32)
