@@ -185,6 +185,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--track-oscillation", dest="track_oscillation",
                    action="store_true", default=False,
                    help="in-graph integer-domain oscillation telemetry")
+    p.add_argument("--profile-steps", dest="profile_steps", type=int,
+                   default=0,
+                   help="capture a jax.profiler device trace of N train "
+                        "steps into <experiment>/trace (XProf-openable)")
     p.add_argument("--oscillation-freeze-threshold",
                    dest="oscillation_freeze_threshold", type=float,
                    default=0.0)

@@ -423,8 +423,21 @@ class Runner:
                             num_classes=args.num_classes,
                             label_smoothing=args.smoothing)
                         dev_batch["label"] = dev_batch.pop("soft_label")
+                    # --profile-steps N: capture a jax.profiler device trace
+                    # of steps [5, 5+N) into <experiment>/trace (XProf/
+                    # TensorBoard-openable; works through the axon tunnel)
+                    prof_n = getattr(args, "profile_steps", 0) or 0
+                    if prof_n and total_steps == 5 and jax.process_index() == 0:
+                        jax.profiler.start_trace(
+                            os.path.join(self.out_dir, "trace"))
                     state, metrics = step(state, dev_batch, sk, tparams)
                     total_steps += 1
+                    if (prof_n and total_steps == 5 + prof_n
+                            and jax.process_index() == 0):
+                        float(metrics["loss"])  # barrier: flush device work
+                        jax.profiler.stop_trace()
+                        _logger.info("profiler trace written to %s",
+                                     os.path.join(self.out_dir, "trace"))
                     if it % args.log_interval == 0:
                         loss = float(metrics["loss"])
                         losses.append(loss)
