@@ -131,6 +131,56 @@ def num_samples(cfg: DataConfig, *, train: bool) -> int:
     return len(files)
 
 
+def rrc_crop_params(tf, h, w, scale):
+    """torchvision RandomResizedCrop.get_params: up to 10 proposal
+    draws accepted when the crop fits, else aspect-clamped center crop;
+    offsets sampled inclusively (randint(0, dim - crop + 1)).
+
+    Module-level so tests can verify its (top, left, ch, cw) distribution
+    statistically against torchvision's get_params
+    (tests/test_aug_differential.py)."""
+    log_ratio = (math.log(3 / 4), math.log(4 / 3))
+    area = tf.cast(h * w, tf.float32)
+
+    def body(i, ok, t, l, c_h, c_w):
+        target = tf.random.uniform([], scale[0], scale[1]) * area
+        ar = tf.exp(tf.random.uniform([], *log_ratio))
+        nw = tf.cast(tf.round(tf.sqrt(target * ar)), tf.int32)
+        nh = tf.cast(tf.round(tf.sqrt(target / ar)), tf.int32)
+        valid = (nh > 0) & (nw > 0) & (nh <= h) & (nw <= w)
+        nt = tf.cond(
+            valid,
+            lambda: tf.random.uniform([], 0, h - nh + 1, tf.int32),
+            lambda: t)
+        nl = tf.cond(
+            valid,
+            lambda: tf.random.uniform([], 0, w - nw + 1, tf.int32),
+            lambda: l)
+        return (i + 1, ok | valid, nt, nl,
+                tf.where(valid, nh, c_h), tf.where(valid, nw, c_w))
+
+    _, ok, t, l, c_h, c_w = tf.while_loop(
+        lambda i, ok, *_: (i < 10) & tf.logical_not(ok), body,
+        (tf.constant(0), tf.constant(False),
+         tf.constant(0), tf.constant(0), tf.constant(0), tf.constant(0)))
+
+    def fallback():
+        in_ratio = tf.cast(w, tf.float32) / tf.cast(h, tf.float32)
+        fw, fh = tf.cond(
+            in_ratio < 3 / 4,
+            lambda: (w, tf.cast(
+                tf.round(tf.cast(w, tf.float32) / (3 / 4)), tf.int32)),
+            lambda: tf.cond(
+                in_ratio > 4 / 3,
+                lambda: (tf.cast(
+                    tf.round(tf.cast(h, tf.float32) * (4 / 3)), tf.int32),
+                    h),
+                lambda: (w, h)))
+        return (h - fh) // 2, (w - fw) // 2, fh, fw
+
+    return tf.cond(ok, lambda: (t, l, c_h, c_w), fallback)
+
+
 def make_dataset(cfg: DataConfig, *, train: bool):
     """Returns an iterator of {'image': f32 NHWC, 'label': i32} numpy batches."""
     if cfg.data_dir is None or cfg.data_dir in ("synthetic", ""):
@@ -173,51 +223,8 @@ def make_dataset(cfg: DataConfig, *, train: bool):
     std = tf.constant(cfg.std, tf.float32) * 255.0
     size = cfg.img_size
 
-    log_ratio = (math.log(3 / 4), math.log(4 / 3))
-
     def rrc_params(h, w):
-        """torchvision RandomResizedCrop.get_params: up to 10 proposal
-        draws accepted when the crop fits, else aspect-clamped center crop;
-        offsets sampled inclusively (randint(0, dim - crop + 1))."""
-        area = tf.cast(h * w, tf.float32)
-
-        def body(i, ok, t, l, c_h, c_w):
-            target = tf.random.uniform([], cfg.scale[0], cfg.scale[1]) * area
-            ar = tf.exp(tf.random.uniform([], *log_ratio))
-            nw = tf.cast(tf.round(tf.sqrt(target * ar)), tf.int32)
-            nh = tf.cast(tf.round(tf.sqrt(target / ar)), tf.int32)
-            valid = (nh > 0) & (nw > 0) & (nh <= h) & (nw <= w)
-            nt = tf.cond(
-                valid,
-                lambda: tf.random.uniform([], 0, h - nh + 1, tf.int32),
-                lambda: t)
-            nl = tf.cond(
-                valid,
-                lambda: tf.random.uniform([], 0, w - nw + 1, tf.int32),
-                lambda: l)
-            return (i + 1, ok | valid, nt, nl,
-                    tf.where(valid, nh, c_h), tf.where(valid, nw, c_w))
-
-        _, ok, t, l, c_h, c_w = tf.while_loop(
-            lambda i, ok, *_: (i < 10) & tf.logical_not(ok), body,
-            (tf.constant(0), tf.constant(False),
-             tf.constant(0), tf.constant(0), tf.constant(0), tf.constant(0)))
-
-        def fallback():
-            in_ratio = tf.cast(w, tf.float32) / tf.cast(h, tf.float32)
-            fw, fh = tf.cond(
-                in_ratio < 3 / 4,
-                lambda: (w, tf.cast(
-                    tf.round(tf.cast(w, tf.float32) / (3 / 4)), tf.int32)),
-                lambda: tf.cond(
-                    in_ratio > 4 / 3,
-                    lambda: (tf.cast(
-                        tf.round(tf.cast(h, tf.float32) * (4 / 3)), tf.int32),
-                        h),
-                    lambda: (w, h)))
-            return (h - fh) // 2, (w - fw) // 2, fh, fw
-
-        return tf.cond(ok, lambda: (t, l, c_h, c_w), fallback)
+        return rrc_crop_params(tf, h, w, cfg.scale)
 
     def load_train(path, label):
         img = tf.io.decode_jpeg(tf.io.read_file(path), channels=3)
