@@ -266,9 +266,32 @@ class Runner:
             clip_grad=args.clip_grad, clip_mode=args.clip_mode), lr_epoch
 
     # ------------------------------------------------------------- fit
+    def _install_preemption_handler(self):
+        """SIGTERM (pod preemption / job eviction) -> finish the in-flight
+        step, save a recovery checkpoint, exit cleanly.  The reference has
+        no preemption story (SURVEY §5 — its recovery is checkpoint-based
+        only); on TPU pods eviction is routine, so the runner treats it as
+        a first-class event.  Auto-resume picks the run back up."""
+        import signal
+
+        self._preempted = False
+
+        def _on_sigterm(signum, frame):
+            self._preempted = True
+            _logger.warning(
+                "SIGTERM received: will checkpoint and exit at the next "
+                "step boundary")
+
+        try:
+            signal.signal(signal.SIGTERM, _on_sigterm)
+        except ValueError:
+            # not the main thread (e.g. some test harnesses) — skip
+            pass
+
     def fit(self) -> dict:
         args = self.args
         os.makedirs(self.out_dir, exist_ok=True)
+        self._install_preemption_handler()
         with open(os.path.join(self.out_dir, "args.yaml"), "w") as f:
             yaml.safe_dump(vars(args), f)
 
@@ -470,9 +493,27 @@ class Runner:
                                 os.path.join(self.out_dir, "recovery"),
                                 max_to_keep=1)
                         save_epoch(self._recovery_mgr, total_steps, state)
+                    if getattr(self, "_preempted", False):
+                        break
                     if args.max_steps and total_steps >= args.max_steps:
                         break
                     batch = next(train_it)
+
+                if getattr(self, "_preempted", False):
+                    # preemption: persist a step-indexed recovery snapshot
+                    # and exit without the (expensive) eval — auto-resume
+                    # restores from <output>/recovery or last epoch
+                    if not hasattr(self, "_recovery_mgr"):
+                        self._recovery_mgr = make_manager(
+                            os.path.join(self.out_dir, "recovery"),
+                            max_to_keep=1)
+                    save_epoch(self._recovery_mgr, total_steps, state)
+                    self._recovery_mgr.wait_until_finished()
+                    mgr.wait_until_finished()
+                    _logger.warning(
+                        "preempted at epoch %d step %d: recovery snapshot "
+                        "saved, exiting", epoch, total_steps)
+                    return best
 
                 # pass the full variables dict so BN batch_stats (if any)
                 # reach eval
