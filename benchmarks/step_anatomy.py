@@ -13,6 +13,8 @@ Variants:
   noteacher   — QAT student, hard CE only (isolates the teacher forward)
   noqkr       — QAT step with plain QAttention (isolates the QKR einsums)
   fwd         — QAT forward only (no grad, loss value only)
+  cga_bf16    — the CGA finetune step (freeze masks + restore in-graph)
+  swin_bf16   — Swin-T W2A2 QKR step (BASELINE config 4)
 
 Usage:  python benchmarks/step_anatomy.py [--variants full,bf16,...]
                                           [--batch 128] [--iters 10]
@@ -91,9 +93,14 @@ def build(variant: str, batch: int, dtype: str = None, attn_impl=None):
     state = jax.jit(lambda p: TrainState.create(p, tx))(sparams)
 
     loss_kind = "ce" if variant == "noteacher" else "kd_soft_hard"
+    cga = None
+    if "cga" in variant:
+        # the CGA finetune phase: in-graph freeze masks + post-step restore
+        cga = dict(bits=2, boundary_range=0.005, qk_reparam=True,
+                   model_type="deit")
     step_fn = make_train_step(
         student, tx, teacher=None if variant == "noteacher" else teacher,
-        loss_kind=loss_kind)
+        loss_kind=loss_kind, cga=cga)
 
     if variant == "fwd":
         def fwd_only(state, batch, rng, tparams):
