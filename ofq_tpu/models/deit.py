@@ -125,6 +125,8 @@ class Block(nn.Module):
         C = cfg.embed_dim
         hidden = int(C * cfg.mlp_ratio)
 
+        # deploy mode: kernels already hold dequantized StatsQ values
+        wb = 32 if pol.weight_frozen else pol.weight.bit
         h = make_norm(cfg.norm_layer, cfg.ln_eps, "norm1", deterministic,
                       cfg.compute_dtype)(x)
         if pol.quantizes(attn_path):
@@ -135,7 +137,8 @@ class Block(nn.Module):
             if pol.qk_reparam:
                 attn = QAttentionQKR(
                     num_heads=cfg.num_heads,
-                    weight_bits=pol.weight.bit, input_bits=pol.act.bit,
+                    frozen_wqk=pol.weight_frozen,
+                    weight_bits=wb, input_bits=pol.act.bit,
                     aq_learnable=pol.act.learnable,
                     wq_learnable=pol.weight.learnable,
                     attn_drop=q_attn_drop, proj_drop=cfg.drop_rate,
@@ -146,7 +149,7 @@ class Block(nn.Module):
             else:
                 attn = QAttention(
                     num_heads=cfg.num_heads,
-                    weight_bits=pol.weight.bit, input_bits=pol.act.bit,
+                    weight_bits=wb, input_bits=pol.act.bit,
                     aq_learnable=pol.act.learnable,
                     wq_learnable=pol.weight.learnable,
                     attn_drop=q_attn_drop, proj_drop=cfg.drop_rate,
@@ -173,7 +176,7 @@ class Block(nn.Module):
         if pol.quantizes(mlp_path):
             mlp = QMlp(
                 hidden_features=hidden, out_features=C,
-                weight_bits=pol.weight.bit, input_bits=pol.act.bit,
+                weight_bits=wb, input_bits=pol.act.bit,
                 aq_learnable=pol.act.learnable,
                 wq_learnable=pol.weight.learnable,
                 act_layer=pol.act_layer, dropout_rate=cfg.drop_rate,

@@ -291,6 +291,8 @@ class QSwinAttentionQKR(WindowAttentionBase):
     quantize_softmax: bool = True
     matmul_impl: Optional[str] = None
     compute_dtype: Optional[str] = None
+    # deployment mode (ofq_tpu/deploy.py): stored quantized W_qk product
+    frozen_wqk: bool = False
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -307,7 +309,8 @@ class QSwinAttentionQKR(WindowAttentionBase):
         v_kernel = self.param(
             "v_kernel", nn.initializers.lecun_normal(), (C, C), jnp.float32)
         v_bias = self.param("v_bias", nn.initializers.zeros, (C,), jnp.float32)
-        vq = statsq_quantize(v_kernel, self.weight_bits)
+        vq = (statsq_quantize(v_kernel, self.weight_bits)
+              if self.weight_bits < 32 else v_kernel)
         if self.compute_dtype is not None:
             vq = vq.astype(self.compute_dtype)
         v_out = xq @ vq + v_bias.astype(xq.dtype)
@@ -317,15 +320,22 @@ class QSwinAttentionQKR(WindowAttentionBase):
         v_out = LearnableBias(C, name="move_v_aft")(v_out)
         v = v_out.reshape(Bn, n, H, d).transpose(0, 2, 1, 3)
 
-        q_kernel = self.param(
-            "q_kernel", nn.initializers.lecun_normal(), (C, C), jnp.float32)
-        k_kernel = self.param(
-            "k_kernel", nn.initializers.lecun_normal(), (C, C), jnp.float32)
-        w_qk = jnp.einsum("ihd,jhd->hij",
-                          q_kernel.reshape(C, H, d), k_kernel.reshape(C, H, d))
-        w_qk = statsq_quantize(
-            w_qk.reshape(H * C, C), self.weight_bits, reduce_axis=-1
-        ).reshape(H, C, C)
+        if self.frozen_wqk:
+            w_qk = self.param(
+                "w_qk_frozen", nn.initializers.zeros, (H, C, C), jnp.float32)
+        else:
+            q_kernel = self.param(
+                "q_kernel", nn.initializers.lecun_normal(), (C, C),
+                jnp.float32)
+            k_kernel = self.param(
+                "k_kernel", nn.initializers.lecun_normal(), (C, C),
+                jnp.float32)
+            w_qk = jnp.einsum(
+                "ihd,jhd->hij",
+                q_kernel.reshape(C, H, d), k_kernel.reshape(C, H, d))
+            w_qk = statsq_quantize(
+                w_qk.reshape(H * C, C), self.weight_bits, reduce_axis=-1
+            ).reshape(H, C, C)
         if self.compute_dtype is not None:
             w_qk = w_qk.astype(self.compute_dtype)
 
@@ -395,7 +405,8 @@ class PatchMerging(nn.Module):
             # (qlinear.py:34), so the quantized reduction GAINS a trainable
             # bias the float module lacks — preserved for checkpoint parity.
             return QLinear(
-                2 * self.dim, weight_bits=pol.weight.bit,
+                2 * self.dim,
+                weight_bits=(32 if pol.weight_frozen else pol.weight.bit),
                 input_bits=pol.act.bit, symmetric=True,
                 aq_learnable=pol.act.learnable, use_bias=True,
                 name="reduction")(x)
@@ -432,7 +443,8 @@ class SwinBlock(nn.Module):
             # --apply_q_attn_dropout gating (QuantPolicy.q_attn_mode)
             common["attn_drop"] = (cfg.attn_drop_rate
                                    if pol.attn_dropout_enabled else 0.0)
-            qkw = dict(weight_bits=pol.weight.bit, input_bits=pol.act.bit,
+            wb = 32 if pol.weight_frozen else pol.weight.bit
+            qkw = dict(weight_bits=wb, input_bits=pol.act.bit,
                        aq_learnable=pol.act.learnable,
                        wq_learnable=pol.weight.learnable,
                        quantize_softmax=pol.quantize_softmax,
@@ -440,7 +452,8 @@ class SwinBlock(nn.Module):
                        compute_dtype=cfg.compute_dtype)
             if pol.qk_reparam:
                 attn_out, info = QSwinAttentionQKR(
-                    name="attn", **qkw, **common)(h, deterministic=deterministic)
+                    name="attn", frozen_wqk=pol.weight_frozen,
+                    **qkw, **common)(h, deterministic=deterministic)
             else:
                 attn_out, info = QSwinAttention(
                     name="attn", **qkw, **common)(h, deterministic=deterministic)
@@ -461,7 +474,8 @@ class SwinBlock(nn.Module):
         if pol.quantizes(self.mlp_path):
             mlp_out = QMlp(
                 hidden_features=hidden, out_features=self.dim,
-                weight_bits=pol.weight.bit, input_bits=pol.act.bit,
+                weight_bits=(32 if pol.weight_frozen else pol.weight.bit),
+                input_bits=pol.act.bit,
                 aq_learnable=pol.act.learnable,
                 wq_learnable=pol.weight.learnable,
                 act_layer=pol.act_layer, dropout_rate=cfg.drop_rate,

@@ -284,9 +284,18 @@ class QAttentionQKR(nn.Module):
     matmul_impl: Optional[str] = None
     attn_impl: Optional[str] = None  # 'fused' -> Pallas attention core
     compute_dtype: Optional[object] = None
+    # deployment mode (ofq_tpu/deploy.py): consume a stored, already-
+    # quantized `w_qk_frozen` (H, C, C) instead of rebuilding and
+    # re-quantizing the product from q/k kernels every forward
+    frozen_wqk: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True):
+        if self.frozen_wqk and self.qqkkvv:
+            raise ValueError(
+                "deployment artifacts carry only the quantized W_qk "
+                "product; qqkkvv Gram telemetry needs the q/k kernels "
+                "(train-time checkpoints)")
         B, N, C = x.shape
         H = self.num_heads
         d = C // H
@@ -303,7 +312,8 @@ class QAttentionQKR(nn.Module):
         v_kernel = self.param(
             "v_kernel", nn.initializers.lecun_normal(), (C, C), jnp.float32)
         v_bias = self.param("v_bias", nn.initializers.zeros, (C,), jnp.float32)
-        vq = statsq_quantize(v_kernel, self.weight_bits)
+        vq = (statsq_quantize(v_kernel, self.weight_bits)
+              if self.weight_bits < 32 else v_kernel)
         if self.compute_dtype is not None:
             vq = vq.astype(self.compute_dtype)
         v_out = xq @ vq + v_bias.astype(xq.dtype)
@@ -313,19 +323,26 @@ class QAttentionQKR(nn.Module):
         v_out = LearnableBias(C, name="move_v_aft")(v_out)
         v = v_out.reshape(B, N, H, d)  # natural layout, no transpose
 
-        # Per-head W_qk = Wq^T @ Wk, StatsQ'd as one (H*C, C) matrix
-        # (attention.py:190-196).  Flax kernels are (in=C, out=C); the
-        # torch (out, in) row i of head h maps to our in-axis index i.
-        q_kernel = self.param(
-            "q_kernel", nn.initializers.lecun_normal(), (C, C), jnp.float32)
-        k_kernel = self.param(
-            "k_kernel", nn.initializers.lecun_normal(), (C, C), jnp.float32)
-        qh = q_kernel.reshape(C, H, d)
-        kh = k_kernel.reshape(C, H, d)
-        w_qk = jnp.einsum("ihd,jhd->hij", qh, kh)  # (H, C, C)
-        w_qk = w_qk.reshape(H * C, C)
-        w_qk = statsq_quantize(w_qk, self.weight_bits, reduce_axis=-1)
-        w_qk = w_qk.reshape(H, C, C)
+        if self.frozen_wqk:
+            # deployment artifact: dequantized StatsQ values stored directly
+            w_qk = self.param(
+                "w_qk_frozen", nn.initializers.zeros, (H, C, C), jnp.float32)
+        else:
+            # Per-head W_qk = Wq^T @ Wk, StatsQ'd as one (H*C, C) matrix
+            # (attention.py:190-196).  Flax kernels are (in=C, out=C); the
+            # torch (out, in) row i of head h maps to our in-axis index i.
+            q_kernel = self.param(
+                "q_kernel", nn.initializers.lecun_normal(), (C, C),
+                jnp.float32)
+            k_kernel = self.param(
+                "k_kernel", nn.initializers.lecun_normal(), (C, C),
+                jnp.float32)
+            qh = q_kernel.reshape(C, H, d)
+            kh = k_kernel.reshape(C, H, d)
+            w_qk = jnp.einsum("ihd,jhd->hij", qh, kh)  # (H, C, C)
+            w_qk = w_qk.reshape(H * C, C)
+            w_qk = statsq_quantize(w_qk, self.weight_bits, reduce_axis=-1)
+            w_qk = w_qk.reshape(H, C, C)
         if self.compute_dtype is not None:
             w_qk = w_qk.astype(self.compute_dtype)
 

@@ -179,7 +179,18 @@ class QLinear(nn.Module):
                 compute_dtype=self.compute_dtype,
             )
         else:
-            y = x @ kernel
+            # weight quant disabled (w32 configs, or deploy mode where the
+            # kernel already holds dequantized StatsQ values): keep the
+            # compute-dtype semantics identical to the statsq_matmul path
+            k2 = kernel
+            if self.compute_dtype is not None:
+                x = x.astype(self.compute_dtype)
+                k2 = kernel.astype(self.compute_dtype)
+            y = jax.lax.dot_general(
+                x, k2, (((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if self.compute_dtype is not None:
+                y = y.astype(self.compute_dtype)
         if self.use_bias:
             b = self.param("bias", self.bias_init, (self.features,), jnp.float32)
             y = y + b.astype(y.dtype)

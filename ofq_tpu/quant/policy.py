@@ -61,6 +61,13 @@ class QuantPolicy:
     # (the reference parses this into every qconfig at train.py:417 but
     # never consumes it downstream; here it actually takes effect)
     q_attn_mode: int = 0
+    # Deployment mode (ofq_tpu/deploy.py): kernels in the param tree are
+    # ALREADY the dequantized StatsQ values restored from a packed-integer
+    # artifact, so weight fake-quant must be skipped (StatsQ recomputes its
+    # scale from live weights and is NOT idempotent); QKR consumes a stored
+    # `w_qk_frozen` instead of rebuilding the product from q/k kernels.
+    # Activation quantizers and LSQ-weight layers (idempotent) run as usual.
+    weight_frozen: bool = False
 
     @property
     def quantize_softmax(self) -> bool:

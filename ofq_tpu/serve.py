@@ -94,11 +94,69 @@ class Predictor:
         return np.asarray(probs[: images.shape[0]])
 
 
+def export_experiment(exp_dir: str, out_path: str, *,
+                      use_best: bool = True) -> str:
+    """Freeze a trained experiment into a packed-integer deployment
+    artifact (see ofq_tpu.deploy): int codes for every quantized kernel,
+    fp32 passthrough for the rest, one .npz file."""
+    from .cli.common import build_parser, policy_from_namespace
+    from .deploy import artifact_nbytes, export_packed
+
+    p = Predictor.from_experiment(exp_dir, batch_size=1, use_best=use_best)
+    with open(os.path.join(exp_dir, "args.yaml")) as f:
+        saved = yaml.safe_load(f)
+    args = build_parser().parse_args([])
+    for k, v in saved.items():
+        if hasattr(args, k):
+            setattr(args, k, v)
+    params = jax.tree.map(np.asarray, p.params["params"])
+    exported = export_packed(
+        params, weight_bits=args.wq_bitw, qk_reparam=args.qk_reparam)
+    np.savez(out_path, **exported)
+    fp32 = sum(np.asarray(v).nbytes for v in jax.tree.leaves(params))
+    print(f"exported {out_path}: {artifact_nbytes(exported) / 1e6:.1f} MB "
+          f"(fp32 checkpoint: {fp32 / 1e6:.1f} MB)")
+    return out_path
+
+
+def predictor_from_artifact(npz_path: str, args_yaml: str, *,
+                            batch_size: int = 64) -> "Predictor":
+    """Build a frozen-weight Predictor from a packed artifact + the
+    experiment's args.yaml (for the model/policy configuration)."""
+    import dataclasses as _dc
+
+    from .cli.common import build_parser, policy_from_namespace
+    from .cli.runner import build_model
+    from .deploy import restore_packed
+
+    with open(args_yaml) as f:
+        saved = yaml.safe_load(f)
+    args = build_parser().parse_args([])
+    for k, v in saved.items():
+        if hasattr(args, k):
+            setattr(args, k, v)
+    policy = _dc.replace(policy_from_namespace(args), weight_frozen=True)
+    # build through the runner path so every model-affecting flag of the
+    # experiment (compute_dtype, matmul/attn impls, norm swap, img size)
+    # applies identically to the frozen model
+    model = build_model(args, policy)
+    restored = restore_packed(dict(np.load(npz_path)))
+    params = {"params": jax.tree.map(jnp.asarray, restored)}
+    return Predictor(model, params, batch_size=batch_size,
+                     img_size=args.img_size)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser("ofq-serve smoke")
     ap.add_argument("exp_dir")
     ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--export", default=None, metavar="OUT_NPZ",
+                    help="freeze the experiment into a packed-integer "
+                         "deployment artifact instead of serving")
     a = ap.parse_args(argv)
+    if a.export:
+        export_experiment(a.exp_dir, a.export)
+        return
     p = Predictor.from_experiment(a.exp_dir, batch_size=a.batch_size)
     x = np.random.default_rng(0).normal(
         size=(a.batch_size, p.img_size, p.img_size, 3)).astype(np.float32)

@@ -1,0 +1,116 @@
+"""Deployment export: packed integer weights must reproduce the trained
+model's forward bit-near-exactly under the frozen-weight policy."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ofq_tpu.deploy import (artifact_nbytes, export_packed, pack_codes,
+                            restore_packed, unpack_codes)
+from ofq_tpu.models import DeiTConfig, VisionTransformer
+from ofq_tpu.quant import default_deit_qmodules, policy_from_args
+
+TINY = DeiTConfig(img_size=32, patch_size=8, embed_dim=128, depth=2,
+                  num_heads=2, num_classes=7)
+
+
+class TestPacking:
+    @pytest.mark.parametrize("bits", [2, 3, 4, 8])
+    def test_roundtrip(self, bits):
+        rng = np.random.default_rng(bits)
+        codes = rng.integers(0, 2 ** bits, size=537).astype(np.uint8)
+        packed = pack_codes(codes, bits)
+        assert packed.nbytes <= 537 * bits / 8 + 1
+        back = unpack_codes(packed, bits, 537)
+        np.testing.assert_array_equal(back, codes)
+
+
+class TestExportRestore:
+    def _build(self, qk_reparam, bits=2):
+        pol = policy_from_args(
+            wq_bitw=bits, aq_bitw=bits,
+            qmodules=default_deit_qmodules(2),
+            qk_reparam=qk_reparam, qk_reparam_type=0)
+        model = VisionTransformer(cfg=TINY, policy=pol)
+        x = jnp.asarray(
+            np.random.default_rng(0).normal(size=(4, 32, 32, 3)), jnp.float32)
+        params = model.init({"params": jax.random.key(0)}, x)
+        return pol, model, params, x
+
+    @pytest.mark.parametrize("qk_reparam", [False, True])
+    def test_forward_parity_and_size(self, qk_reparam):
+        pol, model, params, x = self._build(qk_reparam)
+        ref_logits, _ = model.apply(params, x, train=False)
+
+        exported = export_packed(
+            jax.tree.map(np.asarray, params["params"]),
+            weight_bits=2, qk_reparam=qk_reparam,
+            num_heads=TINY.num_heads)
+        restored = restore_packed(exported)
+
+        frozen_pol = dataclasses.replace(pol, weight_frozen=True)
+        frozen_model = VisionTransformer(cfg=TINY, policy=frozen_pol)
+        got_logits, _ = frozen_model.apply(
+            {"params": jax.tree.map(jnp.asarray, restored)}, x, train=False)
+        np.testing.assert_allclose(got_logits, ref_logits,
+                                   rtol=1e-4, atol=1e-4)
+
+        fp32_bytes = sum(np.asarray(v).nbytes
+                         for v in jax.tree.leaves(params["params"]))
+        ratio = fp32_bytes / artifact_nbytes(exported)
+        # W2 block kernels (the bulk) shrink 16x; fp32 passthroughs (norms,
+        # biases, scales, embeddings) cap the whole-artifact ratio
+        assert ratio > 3.0, ratio
+
+    def test_frozen_tree_has_no_qk_kernels(self):
+        _, _, params, _ = self._build(True)
+        exported = export_packed(
+            jax.tree.map(np.asarray, params["params"]),
+            weight_bits=2, qk_reparam=True, num_heads=TINY.num_heads)
+        restored = restore_packed(exported)
+        attn = restored["blocks_0"]["attn"]
+        assert "w_qk_frozen" in attn
+        assert "q_kernel" not in attn and "k_kernel" not in attn
+
+    def test_experiment_export_serve_roundtrip(self, tmp_path):
+        """Train a tiny experiment, freeze it with export_experiment, and
+        serve from the artifact: predictions must match the fp32-checkpoint
+        predictor bit-exactly."""
+        from ofq_tpu.cli.common import parse_args
+        from ofq_tpu.cli.runner import Runner
+        from ofq_tpu.serve import (Predictor, export_experiment,
+                                   predictor_from_artifact)
+
+        args = parse_args([
+            "synthetic", "--model", "deit_test_distilled", "--img-size",
+            "32", "--num-classes", "4", "--batch-size", "8", "--epochs",
+            "1", "--cooldown-epochs", "0", "--steps-per-epoch", "2",
+            "--quantized", "--wq-enable", "--wq-bitw", "2", "--aq-enable",
+            "--aq-bitw", "2", "--aq_clip_learnable",
+            "--output", str(tmp_path), "--experiment", "exp"])
+        Runner(args).fit()
+        exp = str(tmp_path / "exp")
+        npz = str(tmp_path / "frozen.npz")
+        export_experiment(exp, npz)
+
+        x = np.random.default_rng(1).normal(
+            size=(4, 32, 32, 3)).astype(np.float32)
+        a = Predictor.from_experiment(exp, batch_size=4).predict(x)
+        b = predictor_from_artifact(
+            npz, exp + "/args.yaml", batch_size=4).predict(x)
+        np.testing.assert_array_equal(a, b)
+
+    def test_full_lsq_rejected(self):
+        pol = policy_from_args(
+            wq_bitw=2, aq_bitw=2, wq_mode="lsq", aq_mode="lsq",
+            wq_learnable=True,
+            qmodules=default_deit_qmodules(2))
+        model = VisionTransformer(cfg=TINY, policy=pol)
+        x = jnp.zeros((2, 32, 32, 3))
+        params = model.init({"params": jax.random.key(0)}, x)
+        with pytest.raises(NotImplementedError):
+            export_packed(jax.tree.map(np.asarray, params["params"]),
+                          weight_bits=2, qk_reparam=False)
