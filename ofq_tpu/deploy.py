@@ -121,7 +121,8 @@ def _set(tree, path, value):
 
 
 def export_packed(params: dict, *, weight_bits: int, qk_reparam: bool,
-                  num_heads: Optional[int] = None) -> dict:
+                  num_heads: Optional[int] = None,
+                  head_dim: int = 64) -> dict:
     """Pack a trained param tree (the 'params' collection) into integer
     codes + scales + passthrough floats.  Returns a flat dict suitable for
     np.savez; `restore_packed` inverts it."""
@@ -142,10 +143,19 @@ def export_packed(params: dict, *, weight_bits: int, qk_reparam: bool,
                 continue  # handled with q_kernel
             k_w = np.asarray(names[path[:-1] + ("k_kernel",)])
             C = w.shape[0]
-            H = num_heads if num_heads else _infer_heads(C)
+            # per-head dim is constant per family (DeiT 64, Swin 32) while
+            # C varies per Swin stage, so H must be derived from head_dim
+            H = num_heads if num_heads else max(C // head_dim, 1)
             d = C // H
-            w_qk = np.einsum("ihd,jhd->hij", w.reshape(C, H, d),
-                             k_w.reshape(C, H, d)).reshape(H * C, C)
+            # the product contraction must run through jnp too — numpy's
+            # accumulation order differs, shifting tie-boundary values
+            import jax.numpy as jnp
+
+            w_qk = np.asarray(jnp.einsum(
+                "ihd,jhd->hij",
+                jnp.asarray(w, jnp.float32).reshape(C, H, d),
+                jnp.asarray(k_w, jnp.float32).reshape(C, H, d),
+                precision="highest")).reshape(H * C, C)
             codes, s = _statsq_encode(w_qk, weight_bits, reduce_axis=-1)
             base = "/".join(path[:-1]) + "/w_qk_frozen"
             out[base + ".codes"] = pack_codes(codes, weight_bits)
@@ -187,11 +197,6 @@ def export_packed(params: dict, *, weight_bits: int, qk_reparam: bool,
     out["__meta__"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8)
     return out
-
-
-def _infer_heads(C: int) -> int:
-    # DeiT head counts: C/64 (d=64 per head) — the standard ViT convention
-    return max(C // 64, 1)
 
 
 def _in_quantized_module(names, path) -> bool:

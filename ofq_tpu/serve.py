@@ -111,7 +111,8 @@ def export_experiment(exp_dir: str, out_path: str, *,
             setattr(args, k, v)
     params = jax.tree.map(np.asarray, p.params["params"])
     exported = export_packed(
-        params, weight_bits=args.wq_bitw, qk_reparam=args.qk_reparam)
+        params, weight_bits=args.wq_bitw, qk_reparam=args.qk_reparam,
+        head_dim=32 if args.model_type == "swin" else 64)
     np.savez(out_path, **exported)
     fp32 = sum(np.asarray(v).nbytes for v in jax.tree.leaves(params))
     print(f"exported {out_path}: {artifact_nbytes(exported) / 1e6:.1f} MB "

@@ -103,6 +103,36 @@ class TestExportRestore:
             npz, exp + "/args.yaml", batch_size=4).predict(x)
         np.testing.assert_array_equal(a, b)
 
+    def test_swin_qkr_export_parity(self):
+        """Swin's per-stage C with d=32 heads must round-trip (head_dim
+        drives the per-stage H inference in the W_qk export)."""
+        from ofq_tpu.models.swin import SwinConfig, SwinTransformer
+        from ofq_tpu.quant import default_swin_qmodules
+
+        cfg = SwinConfig(img_size=32, patch_size=4, embed_dim=64,
+                         depths=(1, 1), num_heads=(2, 4), window_size=4,
+                         num_classes=5, drop_path_rate=0.0)
+        pol = policy_from_args(
+            wq_bitw=2, aq_bitw=2,
+            qmodules=default_swin_qmodules((1, 1)),
+            qk_reparam=True, qk_reparam_type=0)
+        model = SwinTransformer(cfg=cfg, policy=pol)
+        x = jnp.asarray(
+            np.random.default_rng(2).normal(size=(2, 32, 32, 3)),
+            jnp.float32)
+        params = model.init({"params": jax.random.key(0)}, x)
+        ref, _ = model.apply(params, x, train=False)
+
+        exported = export_packed(
+            jax.tree.map(np.asarray, params["params"]),
+            weight_bits=2, qk_reparam=True, head_dim=32)
+        restored = restore_packed(exported)
+        frozen = SwinTransformer(
+            cfg=cfg, policy=dataclasses.replace(pol, weight_frozen=True))
+        got, _ = frozen.apply(
+            {"params": jax.tree.map(jnp.asarray, restored)}, x, train=False)
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
     def test_full_lsq_rejected(self):
         pol = policy_from_args(
             wq_bitw=2, aq_bitw=2, wq_mode="lsq", aq_mode="lsq",
