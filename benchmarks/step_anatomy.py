@@ -14,6 +14,7 @@ Variants:
   noqkr       — QAT step with plain QAttention (isolates the QKR einsums)
   fwd         — QAT forward only (no grad, loss value only)
   cga_bf16    — the CGA finetune step (freeze masks + restore in-graph)
+  bf16m_bf16  — bf16 stream + bf16 master weights (BASELINE config 5)
   swin_bf16   — Swin-T W2A2 QKR step (BASELINE config 4)
 
 Usage:  python benchmarks/step_anatomy.py [--variants full,bf16,...]
@@ -93,14 +94,19 @@ def build(variant: str, batch: int, dtype: str = None, attn_impl=None):
     state = jax.jit(lambda p: TrainState.create(p, tx))(sparams)
 
     loss_kind = "ce" if variant == "noteacher" else "kd_soft_hard"
+    master_dtype = "bfloat16" if "bf16m" in variant else None
     cga = None
     if "cga" in variant:
         # the CGA finetune phase: in-graph freeze masks + post-step restore
         cga = dict(bits=2, boundary_range=0.005, qk_reparam=True,
                    model_type="deit")
+    if master_dtype == "bfloat16":
+        state = jax.jit(lambda s: s.replace(params={
+            **s.params, "params": jax.tree.map(
+                lambda p: p.astype(jnp.bfloat16), s.params["params"])}))(state)
     step_fn = make_train_step(
         student, tx, teacher=None if variant == "noteacher" else teacher,
-        loss_kind=loss_kind, cga=cga)
+        loss_kind=loss_kind, cga=cga, master_dtype=master_dtype)
 
     if variant == "fwd":
         def fwd_only(state, batch, rng, tparams):

@@ -131,7 +131,6 @@ def export_packed(params: dict, *, weight_bits: int, qk_reparam: bool,
             "entries": {}}
     params = {k: np.asarray(v) if not isinstance(v, dict) else v
               for k, v in params.items()}
-    skip = set()
     flat = list(_walk(params))
     names = {p: v for p, v in flat}
     for path, w in flat:

@@ -99,7 +99,7 @@ def export_experiment(exp_dir: str, out_path: str, *,
     """Freeze a trained experiment into a packed-integer deployment
     artifact (see ofq_tpu.deploy): int codes for every quantized kernel,
     fp32 passthrough for the rest, one .npz file."""
-    from .cli.common import build_parser, policy_from_namespace
+    from .cli.common import build_parser
     from .deploy import artifact_nbytes, export_packed
 
     p = Predictor.from_experiment(exp_dir, batch_size=1, use_best=use_best)
