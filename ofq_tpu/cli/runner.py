@@ -71,8 +71,16 @@ def build_model(args, policy, *, teacher: bool = False):
             # measured on v5e (docs/DESIGN.md §5): the XLA composition
             # beats both the Pallas core and the remat tail end-to-end
             attn_impl = None
-        if attn_impl and attn_impl != "xla" and mtype == "deit":
-            over["attn_impl"] = attn_impl
+        if attn_impl and attn_impl != "xla":
+            if mtype == "deit":
+                over["attn_impl"] = attn_impl
+            else:
+                import logging
+
+                logging.getLogger("ofq_tpu").warning(
+                    "--attn-impl %s is DeiT-only (Swin's windowed cells are "
+                    "too small for the fused core); using the XLA "
+                    "composition", attn_impl)
     if args.compute_dtype and args.compute_dtype != "float32":
         # the bf16 stream applies to the teacher too (its forward is ~25%
         # of the step FLOPs and carries no quantizer state to protect)
@@ -266,6 +274,17 @@ class Runner:
             clip_grad=args.clip_grad, clip_mode=args.clip_mode), lr_epoch
 
     # ------------------------------------------------------------- fit
+    def _stop_profiler(self):
+        """Close an open --profile-steps trace; safe to call repeatedly
+        (loop break, preemption, and normal exit all route through here)."""
+        if getattr(self, "_prof_active", False):
+            import jax.profiler
+
+            jax.profiler.stop_trace()
+            self._prof_active = False
+            _logger.info("profiler trace written to %s",
+                         os.path.join(self.out_dir, "trace"))
+
     def _install_preemption_handler(self):
         """SIGTERM (pod preemption / job eviction) -> finish the in-flight
         step, save a recovery checkpoint, exit cleanly.  The reference has
@@ -402,6 +421,22 @@ class Runner:
             if restored is not None:
                 _logger.info("auto-resumed from epoch %d", start_epoch)
                 state = restored
+            # recovery snapshots (--recovery-interval / preemption) are
+            # step-indexed; prefer one that is AHEAD of the last full
+            # epoch — it restarts the current epoch's data pass but keeps
+            # the optimizer/params at the later step
+            rec_dir = os.path.join(self.out_dir, "recovery")
+            if os.path.isdir(rec_dir):
+                rec_mgr = make_manager(rec_dir, max_to_keep=1)
+                rec_state, rec_next = restore_latest(
+                    rec_mgr, jax.eval_shape(lambda: state))
+                if (rec_state is not None
+                        and rec_next - 1 > start_epoch * steps_per_epoch):
+                    state = rec_state
+                    start_epoch = (rec_next - 1) // steps_per_epoch
+                    _logger.info(
+                        "resumed from recovery snapshot at step %d "
+                        "(restarting epoch %d)", rec_next - 1, start_epoch)
             if self.cga_mode:
                 # reference cga.py:760,835: a FIXED `freeze_for_n_epochs`
                 # window; resume continues within it, never extends it
@@ -447,20 +482,27 @@ class Runner:
                             label_smoothing=args.smoothing)
                         dev_batch["label"] = dev_batch.pop("soft_label")
                     # --profile-steps N: capture a jax.profiler device trace
-                    # of steps [5, 5+N) into <experiment>/trace (XProf/
-                    # TensorBoard-openable; works through the axon tunnel)
+                    # of N post-warmup steps into <experiment>/trace (XProf/
+                    # TensorBoard-openable; works through the axon tunnel).
+                    # The warmup skip shrinks so short --max-steps smoke
+                    # runs still capture, and any still-open trace is
+                    # closed on every loop exit path (see _stop_profiler).
                     prof_n = getattr(args, "profile_steps", 0) or 0
-                    if prof_n and total_steps == 5 and jax.process_index() == 0:
-                        jax.profiler.start_trace(
-                            os.path.join(self.out_dir, "trace"))
+                    if prof_n and jax.process_index() == 0:
+                        prof_start = 5
+                        if args.max_steps:
+                            prof_start = max(
+                                min(5, args.max_steps - prof_n), 0)
+                        if total_steps == prof_start:
+                            jax.profiler.start_trace(
+                                os.path.join(self.out_dir, "trace"))
+                            self._prof_active = True
                     state, metrics = step(state, dev_batch, sk, tparams)
                     total_steps += 1
-                    if (prof_n and total_steps == 5 + prof_n
-                            and jax.process_index() == 0):
+                    if (getattr(self, "_prof_active", False)
+                            and total_steps >= prof_start + prof_n):
                         float(metrics["loss"])  # barrier: flush device work
-                        jax.profiler.stop_trace()
-                        _logger.info("profiler trace written to %s",
-                                     os.path.join(self.out_dir, "trace"))
+                        self._stop_profiler()
                     if it % args.log_interval == 0:
                         loss = float(metrics["loss"])
                         losses.append(loss)
@@ -500,6 +542,7 @@ class Runner:
                     batch = next(train_it)
 
                 if getattr(self, "_preempted", False):
+                    self._stop_profiler()
                     # preemption: persist a step-indexed recovery snapshot
                     # and exit without the (expensive) eval — auto-resume
                     # restores from <output>/recovery or last epoch
@@ -507,7 +550,15 @@ class Runner:
                         self._recovery_mgr = make_manager(
                             os.path.join(self.out_dir, "recovery"),
                             max_to_keep=1)
-                    save_epoch(self._recovery_mgr, total_steps, state)
+                    just_saved = bool(
+                        args.recovery_interval
+                        and total_steps % args.recovery_interval == 0)
+                    if not just_saved:
+                        if total_steps in self._recovery_mgr.all_steps():
+                            # a prior preempted run wrote this step id;
+                            # orbax raises StepAlreadyExistsError on re-save
+                            self._recovery_mgr.delete(total_steps)
+                        save_epoch(self._recovery_mgr, total_steps, state)
                     self._recovery_mgr.wait_until_finished()
                     mgr.wait_until_finished()
                     _logger.warning(
@@ -557,6 +608,7 @@ class Runner:
                         _logger.warning("--log-wandb set but wandb missing")
                 if args.max_steps and total_steps >= args.max_steps:
                     break
+            self._stop_profiler()
             # drain in-flight async checkpoint writes before returning
             mgr.wait_until_finished()
             if hasattr(self, "_recovery_mgr"):

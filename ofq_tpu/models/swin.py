@@ -409,6 +409,7 @@ class PatchMerging(nn.Module):
                 weight_bits=(32 if pol.weight_frozen else pol.weight.bit),
                 input_bits=pol.act.bit, symmetric=True,
                 aq_learnable=pol.act.learnable, use_bias=True,
+                compute_dtype=self.compute_dtype,
                 name="reduction")(x)
         return nn.Dense(2 * self.dim, use_bias=False, name="reduction")(x)
 

@@ -85,6 +85,10 @@ def _patchify(x: jax.Array, kh: int, kw: int) -> jax.Array:
     """
     B, H, W, C = x.shape
     nh, nw = H // kh, W // kw
+    # VALID stride=kernel conv semantics: truncate any remainder rows/cols
+    # (e.g. --img-size 230 with patch 16 keeps the top-left 224x224)
+    if H != nh * kh or W != nw * kw:
+        x = x[:, :nh * kh, :nw * kw]
     x = x.reshape(B, nh, kh, nw, kw, C)
     x = x.transpose(0, 1, 3, 2, 4, 5)
     return x.reshape(B, nh, nw, kh * kw * C)

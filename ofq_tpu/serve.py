@@ -109,10 +109,20 @@ def export_experiment(exp_dir: str, out_path: str, *,
     for k, v in saved.items():
         if hasattr(args, k):
             setattr(args, k, v)
+    if args.wq_enable and not args.aq_enable:
+        raise NotImplementedError(
+            "packed export needs activation quantizers enabled (weight-only "
+            "QAT leaves no structural marker on QLinear kernels to select "
+            "for packing); every shipped recipe enables both")
     params = jax.tree.map(np.asarray, p.params["params"])
+    if args.model_type == "swin":
+        hk = {"head_dim": 32}  # d=32 per head across all Swin-T stages
+    else:
+        # DeiT: constant head count from the model config (head_dim varies
+        # across variants — deit_test uses d=8, so never hardcode 64)
+        hk = {"num_heads": p.model.cfg.num_heads}
     exported = export_packed(
-        params, weight_bits=args.wq_bitw, qk_reparam=args.qk_reparam,
-        head_dim=32 if args.model_type == "swin" else 64)
+        params, weight_bits=args.wq_bitw, qk_reparam=args.qk_reparam, **hk)
     np.savez(out_path, **exported)
     fp32 = sum(np.asarray(v).nbytes for v in jax.tree.leaves(params))
     print(f"exported {out_path}: {artifact_nbytes(exported) / 1e6:.1f} MB "
