@@ -311,6 +311,18 @@ class Runner:
         args = self.args
         os.makedirs(self.out_dir, exist_ok=True)
         self._install_preemption_handler()
+        if args.log_wandb:
+            # init up front so per-step logging (incl. --wandb-watch grad
+            # norms) is live from step 0, not only after the first epoch
+            try:
+                import wandb
+
+                if wandb.run is None:
+                    wandb.init(project="ofq_tpu",
+                               name=args.experiment or None,
+                               config=vars(args))
+            except ImportError:
+                _logger.warning("--log-wandb set but wandb missing")
         with open(os.path.join(self.out_dir, "args.yaml"), "w") as f:
             yaml.safe_dump(vars(args), f)
 
@@ -321,9 +333,16 @@ class Runner:
             num_samples(self.data_cfg, train=True) // args.batch_size, 1)
 
         # calibration must be host-invariant (identical LSQ init on every
-        # pod host): fixed seed, no sharding
+        # pod host): fixed seed, no sharding, and the DETERMINISTIC eval
+        # transform — the train pipeline's augmentation draws are unseeded
+        # per-process tf ops, so train-transformed pixels differ per host
+        # and would give each host different scale inits.  (The reference's
+        # setup_alpha has per-rank batches too and relies on DDP's rank-0
+        # param broadcast to reconverge; eval-transform calibration is the
+        # SPMD-native equivalent and is reproducible run-to-run as a bonus.)
         calib_cfg = dataclasses.replace(
-            self.data_cfg, seed=args.seed, shard_index=0, shard_count=1)
+            self.data_cfg, seed=args.seed, shard_index=0, shard_count=1,
+            eval_transform=True)
         first = next(iter(make_dataset(calib_cfg, train=True)))
         params = self.calibrate_init(first)
         params = self.load_pretrained(params)

@@ -56,6 +56,10 @@ class DataConfig:
     # to equal length with label=-1 sentinels (masked out by the eval step).
     shard_index: int = 0
     shard_count: int = 1
+    # calibration mode: TRAIN split with the DETERMINISTIC eval transform
+    # (resize + center crop, no random draws) — LSQ scale init must be
+    # identical on every pod host and the train augmentations are unseeded
+    eval_transform: bool = False
 
 
 def _parse_rand_augment(aa: str) -> tuple[int, float, float]:
@@ -268,7 +272,8 @@ def make_dataset(cfg: DataConfig, *, train: bool):
         img.set_shape((size, size, 3))
         return img, tf.cast(label, tf.int32)
 
-    ds = ds.map(load_train if train else load_eval,
+    use_train_tf = train and not cfg.eval_transform
+    ds = ds.map(load_train if use_train_tf else load_eval,
                 num_parallel_calls=tf.data.AUTOTUNE)
     ds = ds.batch(cfg.batch_size, drop_remainder=train)
     ds = ds.prefetch(tf.data.AUTOTUNE)

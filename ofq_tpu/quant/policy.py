@@ -30,7 +30,9 @@ class QuantSpec:
     learnable: bool = True
     all_positive: bool = False
     # weights only: --wq_asym selects the unsigned LSQ range
-    # (reference train.py:403 "symmetric": not args.wq_asym)
+    # (reference train.py:403 "symmetric": not args.wq_asym).
+    # INVARIANT: symmetric == not all_positive for weight specs —
+    # policy_from_args sets both together; consumers may read either.
     symmetric: bool = True
 
     @property
@@ -162,6 +164,7 @@ def policy_from_args(
         bit=wq_bitw if w_bits_valid else 32,
         per_channel=wq_per_channel,
         learnable=wq_learnable,
+        all_positive=wq_asym,
         symmetric=not wq_asym,
     )
     a_bits_valid = aq_enable and aq_bitw < 32

@@ -108,8 +108,11 @@ def make_optimizer(
 
 def ema_update(ema_params, params, decay: float = 0.9999):
     """ModelEmaV2-style exponential moving average of the param pytree.
-    Math in fp32, result in the EMA's storage dtype (bf16-master safe)."""
+
+    EMA state is fp32 (TrainState.create) regardless of the master dtype:
+    with decay 0.9999 the per-step delta is ~1e-4 of the param magnitude,
+    below the bf16 ulp — storing the accumulator in bf16 would freeze it
+    at initialization forever (verified numerically)."""
     return jax.tree.map(
-        lambda e, p: (decay * e.astype(jnp.float32)
-                      + (1.0 - decay) * p.astype(jnp.float32)).astype(e.dtype),
+        lambda e, p: decay * e + (1.0 - decay) * p.astype(jnp.float32),
         ema_params, params)

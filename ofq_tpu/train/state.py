@@ -31,6 +31,11 @@ class TrainState:
             opt_state=tx.init(f32_view),
             step=jnp.zeros((), jnp.int32),
             epoch=jnp.zeros((), jnp.int32),
-            ema_params=jax.tree.map(lambda x: x, params["params"]) if ema else None,
+            # EMA accumulators always live in fp32: under bf16 masters the
+            # per-step delta (1-decay)*(p-e) ~ 1e-4*|p| is below the bf16
+            # ulp (~4e-3 relative), so a bf16 EMA would never move at all
+            ema_params=(jax.tree.map(
+                lambda x: x.astype(jnp.float32), params["params"])
+                if ema else None),
             extra=extra,
         )
