@@ -75,9 +75,7 @@ def build_model(args, policy, *, teacher: bool = False):
             if mtype == "deit":
                 over["attn_impl"] = attn_impl
             else:
-                import logging
-
-                logging.getLogger("ofq_tpu").warning(
+                _logger.warning(
                     "--attn-impl %s is DeiT-only (Swin's windowed cells are "
                     "too small for the fused core); using the XLA "
                     "composition", attn_impl)
@@ -311,9 +309,11 @@ class Runner:
         args = self.args
         os.makedirs(self.out_dir, exist_ok=True)
         self._install_preemption_handler()
-        if args.log_wandb:
+        if args.log_wandb and jax.process_index() == 0:
             # init up front so per-step logging (incl. --wandb-watch grad
             # norms) is live from step 0, not only after the first epoch
+            # (non-zero hosts never init, so their wandb.run stays None and
+            # the per-step/epoch log guards keep them silent)
             try:
                 import wandb
 
@@ -467,7 +467,11 @@ class Runner:
             key = jax.random.key(args.seed)
             summary_path = os.path.join(self.out_dir, "summary.csv")
             best = {"top1": -1.0, "epoch": -1}
-            total_steps = 0
+            # the GLOBAL optimizer step count, persisted in the checkpoint:
+            # recovery snapshots are numbered by it, so it must continue
+            # across resumes (a per-run counter would write under-numbered
+            # snapshots that lose to stale ones or get discarded)
+            total_steps = int(state.step)
             batch = next(train_it)
             mixup_on = (args.mixup > 0 or args.cutmix > 0)
 
@@ -553,6 +557,10 @@ class Runner:
                             self._recovery_mgr = make_manager(
                                 os.path.join(self.out_dir, "recovery"),
                                 max_to_keep=1)
+                        if total_steps in self._recovery_mgr.all_steps():
+                            # stale snapshot from a prior run with the same
+                            # step id; orbax raises on re-save
+                            self._recovery_mgr.delete(total_steps)
                         save_epoch(self._recovery_mgr, total_steps, state)
                     if getattr(self, "_preempted", False):
                         break

@@ -116,7 +116,10 @@ def export_experiment(exp_dir: str, out_path: str, *,
             "for packing); every shipped recipe enables both")
     params = jax.tree.map(np.asarray, p.params["params"])
     if args.model_type == "swin":
-        hk = {"head_dim": 32}  # d=32 per head across all Swin-T stages
+        # per-head dim is constant across stages (dims and head counts
+        # double together); derive it instead of assuming Swin-T's 32
+        cfg = p.model.cfg
+        hk = {"head_dim": cfg.embed_dim // cfg.num_heads[0]}
     else:
         # DeiT: constant head count from the model config (head_dim varies
         # across variants — deit_test uses d=8, so never hardcode 64)

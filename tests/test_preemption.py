@@ -51,15 +51,17 @@ def test_sigterm_checkpoints_and_exits_cleanly(tmp_path):
     assert (out / "preempt" / "recovery").exists(), text[-2000:]
 
     # restart: auto-resume must pick up the recovery snapshot (it is ahead
-    # of any epoch checkpoint — none was written) instead of starting over
+    # of any epoch checkpoint — none was written) AND actually train
+    # through to completion from it (small epoch so the run finishes)
     res = subprocess.run(
         [sys.executable, "-m", "ofq_tpu.cli.train", "synthetic",
          "--model", "deit_test_distilled", "--img-size", "32",
          "--num-classes", "4", "--batch-size", "8",
          "--epochs", "1", "--cooldown-epochs", "0",
-         "--steps-per-epoch", "4", "--max-steps", "2",
+         "--steps-per-epoch", "6",
          "--output", str(out), "--experiment", "preempt"],
         capture_output=True, text=True, env=env, timeout=240,
         cwd=os.path.dirname(os.path.dirname(__file__)))
-    assert "resumed from recovery snapshot" in (res.stdout + res.stderr), (
-        (res.stdout + res.stderr)[-3000:])
+    text2 = res.stdout + res.stderr
+    assert "resumed from recovery snapshot" in text2, text2[-3000:]
+    assert "best top1" in text2, text2[-3000:]  # trained + evaluated
