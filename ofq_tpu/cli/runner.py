@@ -283,6 +283,25 @@ class Runner:
             _logger.info("profiler trace written to %s",
                          os.path.join(self.out_dir, "trace"))
 
+    def _save_recovery(self, total_steps: int, state) -> None:
+        """Write a step-indexed recovery snapshot WITHOUT ever deleting
+        before saving: a crash between a delete and the async save
+        completing must never leave zero recovery snapshots (preemption is
+        exactly when that window matters).  max_to_keep=2 lets orbax keep
+        one committed snapshot while the new one is in flight; on a stale
+        same-step-id collision (prior run wrote this id) the save is
+        skipped — the existing snapshot already represents this optimizer
+        step and is at worst an equivalent-progress lineage."""
+        if not hasattr(self, "_recovery_mgr"):
+            self._recovery_mgr = make_manager(
+                os.path.join(self.out_dir, "recovery"), max_to_keep=2)
+        if total_steps in self._recovery_mgr.all_steps():
+            _logger.info(
+                "recovery snapshot for step %d already exists; keeping it",
+                total_steps)
+            return
+        save_epoch(self._recovery_mgr, total_steps, state)
+
     def _install_preemption_handler(self):
         """SIGTERM (pod preemption / job eviction) -> finish the in-flight
         step, save a recovery checkpoint, exit cleanly.  The reference has
@@ -446,7 +465,7 @@ class Runner:
             # the optimizer/params at the later step
             rec_dir = os.path.join(self.out_dir, "recovery")
             if os.path.isdir(rec_dir):
-                rec_mgr = make_manager(rec_dir, max_to_keep=1)
+                rec_mgr = make_manager(rec_dir, max_to_keep=2)
                 rec_state, rec_next = restore_latest(
                     rec_mgr, jax.eval_shape(lambda: state))
                 if (rec_state is not None
@@ -472,13 +491,29 @@ class Runner:
             # across resumes (a per-run counter would write under-numbered
             # snapshots that lose to stale ones or get discarded)
             total_steps = int(state.step)
+            # mid-epoch resume (recovery snapshot, or an epoch checkpoint
+            # written after a --max-steps break): skip the already-consumed
+            # steps of the restarted epoch so total optimizer steps stay
+            # aligned with epoch*steps_per_epoch — otherwise the step-driven
+            # LR schedule and recovery comparisons drift upward
+            resume_it = total_steps % steps_per_epoch
+            # --profile-steps: trigger relative to THIS process's first
+            # step, so the capture also fires on auto-resumed runs (where
+            # total_steps continues from the checkpoint, past any absolute
+            # trigger); shrink the warmup when --max-steps is short
+            prof_n = getattr(args, "profile_steps", 0) or 0
+            prof_start = total_steps + 5
+            if prof_n and args.max_steps:
+                prof_start = max(
+                    min(prof_start, args.max_steps - prof_n), total_steps)
             batch = next(train_it)
             mixup_on = (args.mixup > 0 or args.cutmix > 0)
 
             for epoch in range(start_epoch, num_epochs):
                 t0 = time.time()
                 losses = []
-                for it in range(steps_per_epoch):
+                it0 = resume_it if epoch == start_epoch else 0
+                for it in range(it0, steps_per_epoch):
                     if self.n_proc > 1:
                         from ..parallel import local_to_global
 
@@ -507,19 +542,13 @@ class Runner:
                     # --profile-steps N: capture a jax.profiler device trace
                     # of N post-warmup steps into <experiment>/trace (XProf/
                     # TensorBoard-openable; works through the axon tunnel).
-                    # The warmup skip shrinks so short --max-steps smoke
-                    # runs still capture, and any still-open trace is
-                    # closed on every loop exit path (see _stop_profiler).
-                    prof_n = getattr(args, "profile_steps", 0) or 0
-                    if prof_n and jax.process_index() == 0:
-                        prof_start = 5
-                        if args.max_steps:
-                            prof_start = max(
-                                min(5, args.max_steps - prof_n), 0)
-                        if total_steps == prof_start:
-                            jax.profiler.start_trace(
-                                os.path.join(self.out_dir, "trace"))
-                            self._prof_active = True
+                    # Any still-open trace is closed on every loop exit
+                    # path (see _stop_profiler).
+                    if (prof_n and jax.process_index() == 0
+                            and total_steps == prof_start):
+                        jax.profiler.start_trace(
+                            os.path.join(self.out_dir, "trace"))
+                        self._prof_active = True
                     state, metrics = step(state, dev_batch, sk, tparams)
                     total_steps += 1
                     if (getattr(self, "_prof_active", False)
@@ -553,15 +582,7 @@ class Runner:
                         # in-epoch crash-recovery snapshot, step-indexed and
                         # kept separately from the per-epoch best-k set
                         # (reference train.py:983-985, saver.save_recovery)
-                        if not hasattr(self, "_recovery_mgr"):
-                            self._recovery_mgr = make_manager(
-                                os.path.join(self.out_dir, "recovery"),
-                                max_to_keep=1)
-                        if total_steps in self._recovery_mgr.all_steps():
-                            # stale snapshot from a prior run with the same
-                            # step id; orbax raises on re-save
-                            self._recovery_mgr.delete(total_steps)
-                        save_epoch(self._recovery_mgr, total_steps, state)
+                        self._save_recovery(total_steps, state)
                     if getattr(self, "_preempted", False):
                         break
                     if args.max_steps and total_steps >= args.max_steps:
@@ -573,20 +594,13 @@ class Runner:
                     # preemption: persist a step-indexed recovery snapshot
                     # and exit without the (expensive) eval — auto-resume
                     # restores from <output>/recovery or last epoch
-                    if not hasattr(self, "_recovery_mgr"):
-                        self._recovery_mgr = make_manager(
-                            os.path.join(self.out_dir, "recovery"),
-                            max_to_keep=1)
                     just_saved = bool(
                         args.recovery_interval
                         and total_steps % args.recovery_interval == 0)
                     if not just_saved:
-                        if total_steps in self._recovery_mgr.all_steps():
-                            # a prior preempted run wrote this step id;
-                            # orbax raises StepAlreadyExistsError on re-save
-                            self._recovery_mgr.delete(total_steps)
-                        save_epoch(self._recovery_mgr, total_steps, state)
-                    self._recovery_mgr.wait_until_finished()
+                        self._save_recovery(total_steps, state)
+                    if hasattr(self, "_recovery_mgr"):
+                        self._recovery_mgr.wait_until_finished()
                     mgr.wait_until_finished()
                     _logger.warning(
                         "preempted at epoch %d step %d: recovery snapshot "

@@ -126,6 +126,14 @@ def export_packed(params: dict, *, weight_bits: int, qk_reparam: bool,
     """Pack a trained param tree (the 'params' collection) into integer
     codes + scales + passthrough floats.  Returns a flat dict suitable for
     np.savez; `restore_packed` inverts it."""
+    if not 2 <= weight_bits <= 8:
+        # bits=1 is unrepresentable here: the mid-rise forward maps w=-s to
+        # round(-1.5)=-2 under round-half-to-even, one below the [-n, n-1]
+        # code range, so the uint8 cast would wrap to 255 and corrupt the
+        # weight.  (The shipped recipes are W2/W3/W4; 1-bit StatsQ weights
+        # exist in neither the reference nor this framework.)
+        raise ValueError(f"packed export supports 2..8 weight bits, got "
+                         f"{weight_bits}")
     out = {}
     meta = {"weight_bits": weight_bits, "qk_reparam": qk_reparam,
             "entries": {}}

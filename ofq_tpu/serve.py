@@ -102,18 +102,23 @@ def export_experiment(exp_dir: str, out_path: str, *,
     from .cli.common import build_parser
     from .deploy import artifact_nbytes, export_packed
 
-    p = Predictor.from_experiment(exp_dir, batch_size=1, use_best=use_best)
     with open(os.path.join(exp_dir, "args.yaml")) as f:
         saved = yaml.safe_load(f)
     args = build_parser().parse_args([])
     for k, v in saved.items():
         if hasattr(args, k):
             setattr(args, k, v)
-    if args.wq_enable and not args.aq_enable:
+    if not (args.wq_enable and args.aq_enable):
+        # wq-off/aq-on is the dangerous corner: QLinear kernels then carry
+        # the input_quant marker, so export_packed would StatsQ-pack
+        # never-quantized fp32 kernels at wq_bitw bits, silently producing
+        # an artifact whose logits diverge from the trained model.
         raise NotImplementedError(
-            "packed export needs activation quantizers enabled (weight-only "
-            "QAT leaves no structural marker on QLinear kernels to select "
-            "for packing); every shipped recipe enables both")
+            "packed export needs BOTH weight and activation quantizers "
+            "enabled (wq_enable/aq_enable); with either off the kernels "
+            "are not StatsQ-faithful at wq_bitw bits and packing would "
+            "corrupt them. Every shipped recipe enables both.")
+    p = Predictor.from_experiment(exp_dir, batch_size=1, use_best=use_best)
     params = jax.tree.map(np.asarray, p.params["params"])
     if args.model_type == "swin":
         # per-head dim is constant across stages (dims and head counts

@@ -89,6 +89,26 @@ class TestParse:
             else:
                 assert "blocks.11.mlp" in pol.qmodules, cfg
 
+    def test_fp_baseline_recipe_namespace(self):
+        # configs/deit_imagenet_fp.yml must reproduce the reference FP
+        # recipe's hyperparameters (deit_default_imagent.attn_q.yml) so the
+        # phase-0 -> QAT -> CGA chain is runnable 1:1 from shipped files
+        args = parse_args(["-c", "configs/deit_imagenet_fp.yml",
+                           "/data/imagenet",
+                           "--model", "deit_tiny_distilled_patch16_224"])
+        assert args.epochs == 300 and args.cooldown_epochs == 10
+        assert args.warmup_epochs == 5 and args.warmup_lr == 1.0e-5
+        assert args.lr == 5e-4 and args.min_lr == 1e-5
+        assert args.weight_decay == 0.05 and args.batch_size == 128
+        assert args.mixup == 0.8 and args.cutmix == 1.0
+        assert args.smoothing == 0.1 and args.num_aug_repeats == 3
+        assert args.aa == "rand-m9-mstd0.5-inc1" and args.reprob == 0.25
+        assert args.crop_pct == 0.9 and not args.model_ema and not args.amp
+        # quantization OFF: the qmodules list is carried for surface
+        # parity but the policy must be identity
+        pol = policy_from_namespace(args)
+        assert pol.is_float
+
     def test_unquantized_default_is_float(self):
         args = parse_args([])
         pol = policy_from_namespace(args)

@@ -28,6 +28,34 @@ class TestPacking:
         np.testing.assert_array_equal(back, codes)
 
 
+class TestPackingGuards:
+    @pytest.mark.parametrize("wq,aq", [(True, False), (False, True),
+                                       (False, False)])
+    def test_export_requires_both_quantizers(self, tmp_path, wq, aq):
+        # aq-on/wq-off is the dangerous corner: QLinear kernels carry the
+        # input_quant marker, so export would StatsQ-pack never-quantized
+        # fp32 kernels at wq_bitw bits (silently wrong logits). The guard
+        # fires before any checkpoint I/O.
+        import yaml
+
+        from ofq_tpu.serve import export_experiment
+
+        exp = tmp_path / "exp"
+        exp.mkdir()
+        (exp / "args.yaml").write_text(yaml.safe_dump(
+            {"wq_enable": wq, "aq_enable": aq, "wq_bitw": 2, "aq_bitw": 2}))
+        with pytest.raises(NotImplementedError, match="BOTH"):
+            export_experiment(str(exp), str(tmp_path / "out.npz"))
+
+    def test_one_bit_export_rejected(self):
+        # bits=1 maps w=-s to code -2 (round-half-to-even on -1.5), one
+        # below the [-n, n-1] range: the uint8 cast would wrap to 255 and
+        # silently corrupt the weight — must be rejected up front
+        with pytest.raises(ValueError, match="2..8"):
+            export_packed({"fc1": {"kernel": np.ones((4, 4), np.float32)}},
+                          weight_bits=1, qk_reparam=False, num_heads=1)
+
+
 class TestExportRestore:
     def _build(self, qk_reparam, bits=2):
         pol = policy_from_args(
