@@ -347,21 +347,23 @@ class QAttentionQKR(nn.Module):
             w_qk = w_qk.astype(self.compute_dtype)
 
         # qkx[b,n,h,i] = sum_j x[b,n,j] W_qk[h,i,j]   (attention.py:200).
-        # Layout: keep (B, N, H, C) — the natural matmul output — through
-        # the whole bias/LSQ chain instead of the reference's (B, H, C, N),
-        # avoiding two materialized transposes of the (B, N, H*C) tensor
-        # per block; the N*H-token LSQ reshape is free in this layout and
-        # the final contraction lets XLA choose its own layouts.
+        # Layout: the ENTIRE bias/LSQ chain runs on the 4-D (B, N, H, C)
+        # einsum output with multi-axis params — zero reshapes.  XLA lays
+        # this tensor out (B, H, N, C)-physical for the dots; any
+        # (B, N, H*C)/(B, N*H, C) flattening is layout-incompatible and
+        # materializes a ~117 MB copy, measured at 21.5 ms/step across
+        # fwd+bwd in round 3 (docs/DESIGN.md §5d).  Param shapes are
+        # unchanged (flat (H*C,) biases, flat (N*H,) scale), so
+        # checkpoints and the torch converter are unaffected; the
+        # per-(token,head) scale semantics are identical (same groups,
+        # same grad factor B*C, same flat ordering n*H+h).
         qkx = jnp.einsum("bnj,hij->bnhi", xq, w_qk)  # (B, N, H, C)
-        qkx = qkx.reshape(B, N, H * C)
-        qkx = LearnableBias(H * C, name="move_qkx_b4")(qkx)
-        # LSQ with one scale per (token, head) pair on (B, N*H, C)
-        qkx = qkx.reshape(B, N * H, C)
-        qkx = LsqAct(self.input_bits, channel_axis=-2,
+        qkx = LearnableBias(H * C, apply_shape=(H, C),
+                            name="move_qkx_b4")(qkx)
+        qkx = LsqAct(self.input_bits, channel_axis=(1, 2),
                      learnable=self.aq_learnable, name="quan_qkx")(qkx)
-        qkx = qkx.reshape(B, N, H * C)
-        qkx = LearnableBias(H * C, name="move_qkx_aft")(qkx)
-        qkx = qkx.reshape(B, N, H, C)
+        qkx = LearnableBias(H * C, apply_shape=(H, C),
+                            name="move_qkx_aft")(qkx)
 
         # Fused Pallas fast path: scores -> softmax -> LSQ -> @v per
         # (batch, head) cell in VMEM, flash-style recompute backward —

@@ -43,13 +43,34 @@ def thresholds(bit: int, all_positive: bool) -> tuple[int, int]:
     return -(2 ** (bit - 1)), 2 ** (bit - 1) - 1
 
 
-def _broadcast_scale(s: jax.Array, x_ndim: int, channel_axis: int | None) -> jax.Array:
-    """Reshape a 1-D (or scalar) scale so it broadcasts along channel_axis."""
+def _broadcast_scale(s: jax.Array, x_shape: Sequence[int],
+                     channel_axis) -> jax.Array:
+    """Reshape a flat (or scalar) scale so it broadcasts along channel_axis.
+
+    channel_axis may be a single axis or a TUPLE of axes — the tuple form
+    carries one scale entry per index combination of those axes (stored
+    flat, row-major), letting e.g. the QKR qkx chain quantize per
+    (token, head) directly on the 4-D (B, N, H, C) einsum output instead
+    of forcing a (B, N*H, C) reshape (which materializes a layout copy of
+    a 116 MB tensor twice per block — see docs/DESIGN.md §5d)."""
     if channel_axis is None or s.ndim == 0 or s.size == 1:
         return jnp.reshape(s, ())
+    x_ndim = len(x_shape)
     shape = [1] * x_ndim
-    shape[channel_axis] = s.shape[0]
+    if isinstance(channel_axis, tuple):
+        for a in channel_axis:
+            shape[a % x_ndim] = x_shape[a % x_ndim]
+    else:
+        shape[channel_axis] = s.shape[0]
     return jnp.reshape(s, shape)
+
+
+def _scale_axes(channel_axis, ndim: int) -> tuple:
+    """Normalized set of axes that carry scale entries."""
+    if channel_axis is None:
+        return ()
+    axes = channel_axis if isinstance(channel_axis, tuple) else (channel_axis,)
+    return tuple(a % ndim for a in axes)
 
 
 def grad_scale_factor(x_shape: Sequence[int], bit: int, all_positive: bool,
@@ -92,8 +113,12 @@ def grad_scale_factor(x_shape: Sequence[int], bit: int, all_positive: bool,
         else:
             raise ValueError(f"unsupported ndim {nd} for axis -1 LSQ")
     else:
-        # generic: all elements sharing one scale entry
-        numel = math.prod(x_shape) // x_shape[channel_axis]
+        # generic (incl. tuple axes): all elements sharing one scale entry
+        axes = channel_axis if isinstance(channel_axis, tuple) else (
+            channel_axis,)
+        numel = math.prod(x_shape)
+        for a in axes:
+            numel //= x_shape[a % nd]
     return 1.0 / math.sqrt(thd_pos * numel)
 
 
@@ -113,9 +138,12 @@ def init_scale(x: jax.Array, bit: int, all_positive: bool,
         m = jnp.mean(jnp.abs(x))
         return (factor * m / math.sqrt(thd_pos)).reshape(1)
     factor = 4.0 if all_positive else 2.0
-    axes = tuple(a for a in range(x.ndim) if a != channel_axis % x.ndim)
-    m = jnp.mean(jnp.abs(x), axis=axes)
-    return factor * m / math.sqrt(thd_pos)
+    keep = _scale_axes(channel_axis, x.ndim)
+    m = jnp.mean(jnp.abs(x),
+                 axis=tuple(a for a in range(x.ndim) if a not in keep))
+    # tuple-axis scales are stored FLAT (row-major over the kept axes) so
+    # the param tree is identical to the reshape-based formulation
+    return (factor * m / math.sqrt(thd_pos)).reshape(-1)
 
 
 def lsq_quantize_composed(
@@ -135,7 +163,7 @@ def lsq_quantize_composed(
     """
     thd_neg, thd_pos = thresholds(bit, all_positive)
     g = grad_scale_factor(x.shape, bit, all_positive, channel_axis)
-    s_b = _broadcast_scale(s, x.ndim, channel_axis)
+    s_b = _broadcast_scale(s, x.shape, channel_axis)
     # the quantizer math runs in x's dtype (bf16 under the compute-dtype
     # stream — integer levels are exact in bf16, the dequant multiply is
     # one rounding); the scale param itself stays fp32 in the pytree
@@ -169,7 +197,7 @@ def _lsq_fused_bwd(bit, all_positive, channel_axis, res, g):
     x, s = res
     thd_neg, thd_pos = thresholds(bit, all_positive)
     gf = grad_scale_factor(x.shape, bit, all_positive, channel_axis)
-    s_b = _broadcast_scale(s, x.ndim, channel_axis)
+    s_b = _broadcast_scale(s, x.shape, channel_axis)
     s_eff = jnp.where(s_b > _S_EPS, s_b, _S_EPS).astype(x.dtype)
     u = x / s_eff
     in_range = (u >= thd_neg) & (u <= thd_pos)
@@ -182,7 +210,8 @@ def _lsq_fused_bwd(bit, all_positive, channel_axis, res, g):
     if channel_axis is None:
         ds = jnp.sum(ds_elem).reshape(s.shape) * gf
     else:
-        axes = tuple(a for a in range(x.ndim) if a != channel_axis % x.ndim)
+        keep = _scale_axes(channel_axis, x.ndim)
+        axes = tuple(a for a in range(x.ndim) if a not in keep)
         ds = jnp.sum(ds_elem, axis=axes).reshape(s.shape) * gf
     return dx, ds.astype(s.dtype)
 
@@ -235,7 +264,7 @@ def lsq_quantize_dynamic_signed(
         # reference 4-D formula: thd_pos * B*H*W (lsq.py:363)
         numel = math.prod(x.shape) // x.shape[channel_axis % x.ndim]
     g = 1.0 / jnp.sqrt(thd_pos.astype(jnp.float32) * numel)
-    s_b = _broadcast_scale(s, x.ndim, channel_axis)
+    s_b = _broadcast_scale(s, x.shape, channel_axis)
     s_eff = grad_scale(clip_lower(s_b, _S_EPS), g)
     y = jnp.clip(x / s_eff, thd_neg, thd_pos)
     y = round_pass(y)

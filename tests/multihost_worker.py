@@ -94,6 +94,30 @@ def main() -> None:
     print(f"MULTIHOST_OK proc={proc_id} loss={loss:.6f} count={count}",
           flush=True)
 
+    # ---- phase 2 (optional): UNEVEN ImageFolder eval sharding ----------
+    # A real on-disk dataset whose sample count is NOT divisible by
+    # (hosts x batch): the pipeline pads shards to equal length with
+    # label=-1 sentinels and the eval step masks them, so every real
+    # sample is counted exactly once across the pod (loop.py:203-205).
+    if len(sys.argv) > 3:
+        data_dir = sys.argv[3]
+        from ofq_tpu.data import DataConfig, make_dataset
+
+        eval_cfg = DataConfig(
+            data_dir=data_dir, img_size=16, batch_size=2, num_classes=2,
+            seed=7, shard_index=proc_id, shard_count=2)
+        totals = None
+        with jax.set_mesh(mesh):
+            for b in make_dataset(eval_cfg, train=False):
+                dev = local_to_global(
+                    {"image": b["image"], "label": b["label"]}, mesh, bs)
+                out = eval_step(state.params, dev)
+                totals = out if totals is None else jax.tree.map(
+                    jnp.add, totals, out)
+        n_eval = int(totals["count"])
+        print(f"MULTIHOST_EVAL_OK proc={proc_id} eval_count={n_eval}",
+              flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -24,10 +24,28 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_train_step():
+def _write_imagefolder(root, *, n_a=6, n_b=5, size=16):
+    """Tiny 2-class ImageFolder with 11 samples — NOT divisible by
+    (2 hosts x 2 batch): exercises the label=-1 shard-padding path."""
+    from PIL import Image
+
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    for cls, n in (("a", n_a), ("b", n_b)):
+        d = os.path.join(root, "validation", cls)
+        os.makedirs(d)
+        for i in range(n):
+            arr = rng.integers(0, 255, size=(size, size, 3)).astype("uint8")
+            Image.fromarray(arr).save(os.path.join(d, f"{i}.jpg"))
+    return n_a + n_b
+
+
+def test_two_process_train_step(tmp_path):
     here = os.path.dirname(os.path.abspath(__file__))
     worker = os.path.join(here, "multihost_worker.py")
     coordinator = f"localhost:{_free_port()}"
+    n_samples = _write_imagefolder(str(tmp_path))
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"
@@ -39,7 +57,7 @@ def test_two_process_train_step():
 
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(i), coordinator],
+            [sys.executable, worker, str(i), coordinator, str(tmp_path)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True)
         for i in range(2)
@@ -52,5 +70,11 @@ def test_two_process_train_step():
         m = re.search(r"MULTIHOST_OK proc=\d loss=([0-9.]+) count=8", out)
         assert m, out[-3000:]
         losses.append(float(m.group(1)))
+        # uneven-shard eval: 11 samples across 2 hosts pad to 6+6 with one
+        # label=-1 sentinel; the global count must be exactly 11 (each
+        # real sample once, the pad contributing nothing)
+        me = re.search(r"MULTIHOST_EVAL_OK proc=\d eval_count=(\d+)", out)
+        assert me, out[-3000:]
+        assert int(me.group(1)) == n_samples, out[-2000:]
     # SPMD: every host computes the same global loss
     assert losses[0] == losses[1], losses
