@@ -168,7 +168,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="param STORAGE dtype; update/quantizer math stays "
                         "fp32 (BASELINE config 5's bf16 master weights)")
     p.add_argument("--matmul-impl", dest="matmul_impl", default="xla",
-                   choices=["xla", "pallas", "fused"])
+                   choices=["xla", "pallas", "fused", "int8"],
+                   help="QLinear backend: 'int8' feeds the MXU real int8 "
+                        "operands (exact int32 accumulation, 2x bf16 rate; "
+                        "W<=4 only, ops/int8_qlinear.py)")
     p.add_argument("--attn-impl", dest="attn_impl", default="auto",
                    choices=["auto", "xla", "fused", "remat"],
                    help="attention backend: XLA composition (default — "

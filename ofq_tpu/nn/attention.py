@@ -301,22 +301,62 @@ class QAttentionQKR(nn.Module):
         d = C // H
         scale = d ** -0.5
 
+        # integer-core fast path (--matmul-impl int8): the v dot and the
+        # qkx einsum share ONE set of int8 input codes and run on the
+        # MXU's int8 path (2x bf16 rate, exact int32 accumulation); the
+        # LSQ scale/bias algebra stays outside in fp, so gradients equal
+        # the composed path's (see ops/int8_qlinear.py).
+        use_int8 = False
+        if (self.matmul_impl == "int8" and not self.frozen_wqk
+                and not self.qqkkvv
+                and self.input_bits < 32 and self.weight_bits < 32):
+            from ..ops.int8_qlinear import int8_eligible
+
+            use_int8 = int8_eligible(self.weight_bits, self.input_bits)
+
         # One shared input quantization for both the v-linear and the
         # X @ W_qk @ X^T chain (attention.py:124, 177).
-        xq = LearnableBias(C, name="quant_x_move_b4")(x)
-        xq = LsqAct(self.input_bits, channel_axis=-2,
-                    learnable=self.aq_learnable, name="quant_x")(xq)
-        xq = LearnableBias(C, name="quant_x_move_aft")(xq)
+        x1 = LearnableBias(C, name="quant_x_move_b4")(x)
+        if use_int8:
+            from ..ops.int8_qlinear import int8_statsq_dot
+            from ..quant.lsq import (
+                _broadcast_scale, grad_scale_factor, thresholds)
+            from ..quant.ste import clip_lower, grad_scale, round_pass
+            from .linear import _BiasParam, _ScaleParam
+
+            # exact LsqAct('quant_x')/LearnableBias('quant_x_move_aft')
+            # param tree; the scale pre-processing (eps clip w/ identity
+            # grad, grad-scale factor, learnable gate) mirrors lsq.py
+            s = _ScaleParam(self.input_bits, False, name="quant_x")(x1)
+            if not self.aq_learnable:
+                s = jax.lax.stop_gradient(s)
+            gf = grad_scale_factor(x1.shape, self.input_bits, False, -2)
+            s_b = _broadcast_scale(s, x1.shape, -2)
+            s_eff = grad_scale(clip_lower(s_b, 1e-5), gf).astype(x1.dtype)
+            thd_neg, thd_pos = thresholds(self.input_bits, False)
+            xi = round_pass(jnp.clip(x1 / s_eff, thd_neg, thd_pos))
+            bx = _BiasParam(C, name="quant_x_move_aft")()
+            xq = xi * s_eff + bx.astype(xi.dtype)  # fp view (attn lhs)
+        else:
+            xq = LsqAct(self.input_bits, channel_axis=-2,
+                        learnable=self.aq_learnable, name="quant_x")(x1)
+            xq = LearnableBias(C, name="quant_x_move_aft")(xq)
 
         # V path: StatsQ(v kernel) @ xq + bias (attention.py:179-181).
         v_kernel = self.param(
             "v_kernel", nn.initializers.lecun_normal(), (C, C), jnp.float32)
         v_bias = self.param("v_bias", nn.initializers.zeros, (C,), jnp.float32)
-        vq = (statsq_quantize(v_kernel, self.weight_bits)
-              if self.weight_bits < 32 else v_kernel)
-        if self.compute_dtype is not None:
-            vq = vq.astype(self.compute_dtype)
-        v_out = xq @ vq + v_bias.astype(xq.dtype)
+        if use_int8:
+            v_out = (int8_statsq_dot(xi, v_kernel, self.weight_bits) * s_eff
+                     + bx.astype(xi.dtype) @ statsq_quantize(
+                         v_kernel, self.weight_bits).astype(xi.dtype)
+                     + v_bias.astype(xi.dtype))
+        else:
+            vq = (statsq_quantize(v_kernel, self.weight_bits)
+                  if self.weight_bits < 32 else v_kernel)
+            if self.compute_dtype is not None:
+                vq = vq.astype(self.compute_dtype)
+            v_out = xq @ vq + v_bias.astype(xq.dtype)
         v_out = LearnableBias(C, name="move_v_b4")(v_out)
         v_out = LsqAct(self.input_bits, channel_axis=-1,
                        learnable=self.aq_learnable, name="quan_v")(v_out)
@@ -341,9 +381,11 @@ class QAttentionQKR(nn.Module):
             kh = k_kernel.reshape(C, H, d)
             w_qk = jnp.einsum("ihd,jhd->hij", qh, kh)  # (H, C, C)
             w_qk = w_qk.reshape(H * C, C)
-            w_qk = statsq_quantize(w_qk, self.weight_bits, reduce_axis=-1)
+            if not use_int8:
+                w_qk = statsq_quantize(
+                    w_qk, self.weight_bits, reduce_axis=-1)
             w_qk = w_qk.reshape(H, C, C)
-        if self.compute_dtype is not None:
+        if self.compute_dtype is not None and not use_int8:
             w_qk = w_qk.astype(self.compute_dtype)
 
         # qkx[b,n,h,i] = sum_j x[b,n,j] W_qk[h,i,j]   (attention.py:200).
@@ -357,7 +399,18 @@ class QAttentionQKR(nn.Module):
         # checkpoints and the torch converter are unaffected; the
         # per-(token,head) scale semantics are identical (same groups,
         # same grad factor B*C, same flat ordering n*H+h).
-        qkx = jnp.einsum("bnj,hij->bnhi", xq, w_qk)  # (B, N, H, C)
+        if use_int8:
+            # int8 codes shared with the v dot; the (B,N,H*C) -> 4-D split
+            # of trailing dims is layout-free (unlike the N,H merge)
+            w_qk_t = w_qk.reshape(H * C, C).T  # (C, H*C): per-column scale
+            #                                    == the reference's per-row
+            qkx = int8_statsq_dot(xi, w_qk_t, self.weight_bits)
+            wq_t = statsq_quantize(
+                w_qk_t, self.weight_bits, reduce_axis=0).astype(xi.dtype)
+            qkx = (qkx * s_eff + bx.astype(xi.dtype) @ wq_t
+                   ).reshape(B, N, H, C)
+        else:
+            qkx = jnp.einsum("bnj,hij->bnhi", xq, w_qk)  # (B, N, H, C)
         qkx = LearnableBias(H * C, apply_shape=(H, C),
                             name="move_qkx_b4")(qkx)
         qkx = LsqAct(self.input_bits, channel_axis=(1, 2),

@@ -162,6 +162,25 @@ class QLinear(nn.Module):
                 x, kernel, s, b_pre, b_post, bias,
                 w_bits=self.weight_bits, a_bits=self.input_bits,
                 all_positive=not self.symmetric)
+        if self.matmul_impl == "int8" and self.input_bits < 32:
+            from ..ops.int8_qlinear import int8_eligible, int8_qlinear
+
+            if int8_eligible(self.weight_bits, self.input_bits):
+                b_pre = _BiasParam(in_features, name="move_b4")()
+                s = _ScaleParam(self.input_bits, not self.symmetric,
+                                name="input_quant")(x)
+                if not self.aq_learnable:
+                    s = jax.lax.stop_gradient(s)
+                b_post = _BiasParam(in_features, name="move_aft")()
+                y = int8_qlinear(
+                    x, kernel, s, b_pre, b_post,
+                    self.weight_bits, self.input_bits, not self.symmetric)
+                if self.use_bias:
+                    b = self.param("bias", self.bias_init,
+                                   (self.features,), jnp.float32)
+                    y = y + b.astype(y.dtype)
+                return y
+            # ineligible bit-widths (W>4): fall through to the XLA path
         if self.input_bits < 32:
             x = LearnableBias(in_features, name="move_b4")(x)
             x = LsqAct(
@@ -175,7 +194,8 @@ class QLinear(nn.Module):
         if self.weight_bits < 32:
             y = statsq_matmul(
                 x, kernel, self.weight_bits,
-                impl=self.matmul_impl if self.matmul_impl != "fused" else None,
+                impl=(self.matmul_impl
+                      if self.matmul_impl not in ("fused", "int8") else None),
                 compute_dtype=self.compute_dtype,
             )
         else:

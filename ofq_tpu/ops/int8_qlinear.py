@@ -1,0 +1,186 @@
+"""Integer-core QLinear forward: the MXU consumes real int8 operands.
+
+The QAT forward's fake-quant values are exact scaled integers:
+  LSQ activations:  xq = s_a * X_int,  X_int in [thd_neg, thd_pos]
+  StatsQ weights:   w_q = (s_w / 2n) * W_int,  W_int = 2k+1 odd,
+                    |W_int| <= 2n-1, n = 2^(b-1)   (statsq.py mid-rise)
+so the QLinear forward
+  y = (x + b_pre -> LSQ -> + b_post) @ w_q
+factorizes EXACTLY as
+  y = (X_int @ W_int) * (s_a[token] * s_w[out] / 2n)  +  b_post @ w_q
+with an int8 x int8 -> int32 matmul — which the TPU MXU executes at 2x
+its bf16 rate with EXACT accumulation (no bf16 rounding of products).
+`b_post @ w_q` is a (in,) x (in,out) matvec — batch-independent noise.
+
+Eligibility: weight_bits <= 4 (W_int = 2k+1 needs |2k+1| <= 15 to stay
+comfortably in int8; the shipped StatsQ recipes are W2/W3/W4) and
+act bits <= 8.  The backward is the standard fp STE path (cotangents are
+continuous — only the forward operands are integer), reproducing the
+composed path's gradients exactly: same in-range masks, same LSQ scale
+gradient with grad_scale factor, same fp32 bias-grad accumulation.
+
+This is both a training speed path (--matmul-impl int8) and the serving
+core (ofq_tpu.serve --int-core consumes packed artifact codes directly).
+Reference anatomy: qlinear.py:28-87 + statsq.py:122-150.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..quant.lsq import _broadcast_scale, grad_scale_factor, thresholds
+from ..quant.statsq import _CLIP_HI_EPS, statsq_quantize, statsq_scale
+
+_S_EPS = 1e-5
+
+
+def _act_int(x1, s_eff, bit, all_positive):
+    """Integer LSQ codes of the biased input, in the input's dtype."""
+    thd_neg, thd_pos = thresholds(bit, all_positive)
+    u = x1 / s_eff
+    return jnp.round(jnp.clip(u, thd_neg, thd_pos))
+
+
+def _weight_int(kernel, bits):
+    """Odd integer StatsQ codes W_int = 2k+1 and the column scale s_w.
+    Same jnp op sequence as statsq_quantize (deploy.py's 1-ulp lesson)."""
+    n = float(2 ** (bits - 1))
+    s_w = statsq_scale(kernel, reduce_axis=0)         # (1, out)
+    clipped = jnp.clip(kernel / s_w, -1.0, 1.0 - _CLIP_HI_EPS)
+    k = jnp.round(clipped * n - 0.5)                  # [-n, n-1]
+    return 2.0 * k + 1.0, s_w.reshape(-1)             # W_int, (out,)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def int8_qlinear(x, kernel, s, b_pre, b_post, w_bits, a_bits, all_positive):
+    y, _ = _fwd(x, kernel, s, b_pre, b_post, w_bits, a_bits, all_positive)
+    return y
+
+
+def _fwd(x, kernel, s, b_pre, b_post, w_bits, a_bits, all_positive):
+    n = float(2 ** (w_bits - 1))
+    x1 = x + b_pre.astype(x.dtype)
+    s_b = _broadcast_scale(s, x1.shape, -2)
+    s_eff = jnp.maximum(s_b, _S_EPS).astype(x.dtype)
+    xi = _act_int(x1, s_eff, a_bits, all_positive)
+
+    w_int, s_w = _weight_int(kernel.astype(jnp.float32), w_bits)
+    acc = jax.lax.dot_general(
+        xi.astype(jnp.int8), w_int.astype(jnp.int8),
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    col = (s_w / (2.0 * n)).astype(jnp.float32)
+    # b_post @ w_q: batch-independent (out,) correction
+    w_q = w_int * (s_w / (2.0 * n))
+    bq = b_post.astype(jnp.float32) @ w_q
+    y = (acc.astype(jnp.float32)
+         * s_eff.astype(jnp.float32) * col + bq).astype(x.dtype)
+    return y, (x, kernel, s)
+
+
+def _int8_qlinear_bwd(w_bits, a_bits, all_positive, res, g):
+    """Composed-path cotangents, recomputed from (x, kernel, s, biases):
+      dx2 = g @ w_q^T ; dkernel = x2^T g (StatsQ STE, scale detached);
+      db_post = sum dx2 ; LSQ bwd (mask + scale grad) ; db_pre = sum dx1.
+    Bias/scale grads accumulate fp32 (the converts fuse into reduces).
+    Residuals are only the chain INPUT (+ small params): the quantized
+    intermediates are recomputed here — cheap VPU work that also halves
+    the chain's stored-residual HBM traffic vs the composed path."""
+    x, kernel, s, b_pre, b_post = res
+    thd_neg, thd_pos = thresholds(a_bits, all_positive)
+    gf = grad_scale_factor(x.shape, a_bits, all_positive, -2)
+    n = float(2 ** (w_bits - 1))
+
+    x1 = x + b_pre.astype(x.dtype)
+    s_b = _broadcast_scale(s, x1.shape, -2)
+    s_eff = jnp.maximum(s_b, _S_EPS).astype(x.dtype)
+    u = x1 / s_eff
+    in_range = (u >= thd_neg) & (u <= thd_pos)
+    xi = jnp.round(jnp.clip(u, thd_neg, thd_pos))
+    xq = xi * s_eff
+    x2 = xq + b_post.astype(x.dtype)
+
+    w_int, s_w = _weight_int(kernel.astype(jnp.float32), w_bits)
+    w_q = (w_int * (s_w / (2.0 * n))).astype(x.dtype)
+
+    # dot cotangents
+    dx2 = jax.lax.dot_general(
+        g, w_q, (((g.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(g.dtype)
+    lead = tuple(range(g.ndim - 1))
+    dkernel = jnp.einsum(
+        "...i,...o->io", x2.astype(jnp.float32), g.astype(jnp.float32))
+    db_post = jnp.sum(dx2.astype(jnp.float32), axis=lead)
+
+    # LSQ cotangents (identical to quant/lsq.py _lsq_fused_bwd)
+    dx1 = jnp.where(in_range, dx2, jnp.zeros((), dx2.dtype))
+    ds_elem = (jnp.where(in_range, xi - u, jnp.clip(u, thd_neg, thd_pos))
+               * dx2).astype(jnp.float32)
+    axes = tuple(a for a in range(x.ndim) if a != x.ndim - 2)
+    ds = (jnp.sum(ds_elem, axis=axes).reshape(s.shape) * gf).astype(s.dtype)
+    db_pre = jnp.sum(dx1.astype(jnp.float32), axis=lead)
+    return dx1, dkernel.astype(kernel.dtype), ds, db_pre, db_post
+
+
+def _fwd_with_biases(x, kernel, s, b_pre, b_post, w_bits, a_bits,
+                     all_positive):
+    y, (xr, kr, sr) = _fwd(x, kernel, s, b_pre, b_post, w_bits, a_bits,
+                           all_positive)
+    return y, (xr, kr, sr, b_pre, b_post)
+
+
+int8_qlinear.defvjp(_fwd_with_biases, _int8_qlinear_bwd)
+
+
+def int8_eligible(w_bits: int, a_bits: int) -> bool:
+    """int8 operands: |W_int| = |2k+1| <= 2^w_bits - 1 must fit int8 and
+    activation codes must fit int8."""
+    return 2 <= w_bits <= 4 and a_bits <= 8
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def int8_statsq_dot(xi, kernel, w_bits):
+    """`xi @ statsq_quantize(kernel)` where `xi` is already INTEGER-valued
+    (LSQ codes from an upstream round_pass chain): the dot runs int8 x
+    int8 -> int32 on the MXU, the dequant column scale is applied after.
+
+    Compositional building block for the QKR attention's shared-input
+    dots (v path and the qkx einsum both consume the same X_int): the
+    caller keeps the LSQ scale/bias algebra outside, so autodiff
+    reproduces the composed path's gradients; this op's custom VJP only
+    supplies the dot cotangents (dxi = g @ w_q^T, dkernel = xi^T @ g —
+    the StatsQ STE) and stores `xi` as int8, HALVING that residual's HBM
+    bytes vs the bf16 composed path."""
+    n = float(2 ** (w_bits - 1))
+    w_int, s_w = _weight_int(kernel.astype(jnp.float32), w_bits)
+    acc = jax.lax.dot_general(
+        xi.astype(jnp.int8), w_int.astype(jnp.int8),
+        (((xi.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    col = (s_w / (2.0 * n)).astype(jnp.float32)
+    return (acc.astype(jnp.float32) * col).astype(xi.dtype)
+
+
+def _int8_statsq_dot_fwd(xi, kernel, w_bits):
+    y = int8_statsq_dot(xi, kernel, w_bits)
+    return y, (xi.astype(jnp.int8), kernel)
+
+
+def _int8_statsq_dot_bwd(w_bits, res, g):
+    # the op's output dtype == xi's dtype, so g.dtype is xi's dtype
+    xi8, kernel = res
+    w_q = statsq_quantize(
+        kernel.astype(jnp.float32), w_bits, reduce_axis=0).astype(g.dtype)
+    dxi = jax.lax.dot_general(
+        g, w_q, (((g.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(g.dtype)
+    dkernel = jnp.einsum(
+        "...i,...o->io", xi8.astype(jnp.float32), g.astype(jnp.float32))
+    return dxi, dkernel.astype(kernel.dtype)
+
+
+int8_statsq_dot.defvjp(_int8_statsq_dot_fwd, _int8_statsq_dot_bwd)
