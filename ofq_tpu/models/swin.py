@@ -187,10 +187,11 @@ class SwinAttention(WindowAttentionBase):
         Bn, n, C = tokens.shape
         H = self.num_heads
         d = C // H
+        # natural (Bn, n, H, d) layout — no materialized head transposes
         qkv = nn.Dense(3 * C, name="qkv")(tokens)
-        qkv = qkv.reshape(Bn, n, 3, H, d).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k) * (d ** -0.5)
+        qkv = qkv.reshape(Bn, n, 3, H, d)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * (d ** -0.5)
         attn = attn + self.rel_pos_bias().astype(attn.dtype)
         num_windows = (geom[3] // self.window_size) * (geom[4] // self.window_size)
         attn = self.apply_mask(attn, mask, num_windows)
@@ -200,13 +201,12 @@ class SwinAttention(WindowAttentionBase):
             sq = 1.0 / jnp.sqrt(d)
             attn_info = (
                 attn,
-                jnp.einsum("bhnd,bhmd->bhnm", q, q) * sq,
-                jnp.einsum("bhnd,bhmd->bhnm", k, k) * sq,
-                jnp.einsum("bhnd,bhmd->bhnm", v, v) * sq,
+                jnp.einsum("bnhd,bmhd->bhnm", q, q) * sq,
+                jnp.einsum("bnhd,bmhd->bhnm", k, k) * sq,
+                jnp.einsum("bnhd,bmhd->bhnm", v, v) * sq,
             )
         attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(Bn, n, C)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(Bn, n, C)
         out = nn.Dense(C, name="proj")(out)
         out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
         return self.finish(out, geom), attn_info
@@ -237,29 +237,32 @@ class QSwinAttention(WindowAttentionBase):
                           aq_learnable=self.aq_learnable,
                           matmul_impl=self.matmul_impl,
                           compute_dtype=self.compute_dtype)
+        # natural (Bn, n, H, d) layout throughout — the head axis rides in
+        # place and the einsums carry it; no materialized (Bn, H, n, d)
+        # transposes (the round-2/3 DeiT layout treatment, ported: each
+        # removed transpose is a full copy of the window-token tensor).
+        # Per-token LSQ scale on axis 1 is numerically identical to the
+        # reference's axis -2 on (Bn, H, n, d) (same (n,) scale, same
+        # group numel Bn*H*d).
         qkv = QLinear(3 * C, name="qkv", **lin_kwargs)(tokens)
         if self.input_bits < 32:
             qkv = LearnableBias(3 * C, name="move_qkv_b4")(qkv)
-        qkv = qkv.reshape(Bn, n, 3, H, d).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
-        q = LsqAct(self.input_bits, channel_axis=-2,
+        qkv = qkv.reshape(Bn, n, 3, H, d)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (Bn, n, H, d)
+        q = LsqAct(self.input_bits, channel_axis=1,
                    learnable=self.aq_learnable, name="quan_q")(q)
-        k = LsqAct(self.input_bits, channel_axis=-2,
+        k = LsqAct(self.input_bits, channel_axis=1,
                    learnable=self.aq_learnable, name="quan_k")(k)
-        v = v.transpose(0, 2, 1, 3).reshape(Bn, n, C)
+        v = v.reshape(Bn, n, C)
         v = LsqAct(self.input_bits, channel_axis=-1,
                    learnable=self.aq_learnable, name="quan_v")(v)
         if self.input_bits < 32:
-            q = q.transpose(0, 2, 1, 3).reshape(Bn, n, C)
-            k = k.transpose(0, 2, 1, 3).reshape(Bn, n, C)
-            q = LearnableBias(C, name="move_q_aft")(q)
-            k = LearnableBias(C, name="move_k_aft")(k)
+            q = LearnableBias(C, apply_shape=(H, d), name="move_q_aft")(q)
+            k = LearnableBias(C, apply_shape=(H, d), name="move_k_aft")(k)
             v = LearnableBias(C, name="move_v_aft")(v)
-            q = q.reshape(Bn, n, H, d).transpose(0, 2, 1, 3)
-            k = k.reshape(Bn, n, H, d).transpose(0, 2, 1, 3)
-        v = v.reshape(Bn, n, H, d).transpose(0, 2, 1, 3)
+        v = v.reshape(Bn, n, H, d)
 
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k) * (d ** -0.5)
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * (d ** -0.5)
         attn = attn + self.rel_pos_bias().astype(attn.dtype)
         num_windows = (geom[3] // self.window_size) * (geom[4] // self.window_size)
         attn = self.apply_mask(attn, mask, num_windows)
@@ -269,8 +272,7 @@ class QSwinAttention(WindowAttentionBase):
                           learnable=self.aq_learnable,
                           name="quan_softmax")(attn)
         attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(Bn, n, C)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(Bn, n, C)
         out = QLinear(C, name="proj", **lin_kwargs)(out)
         out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
         return self.finish(out, geom), None
@@ -301,24 +303,57 @@ class QSwinAttentionQKR(WindowAttentionBase):
         H = self.num_heads
         d = C // H
 
-        xq = LearnableBias(C, name="quant_x_move_b4")(tokens)
-        xq = LsqAct(self.input_bits, channel_axis=-2,
-                    learnable=self.aq_learnable, name="quant_x")(xq)
-        xq = LearnableBias(C, name="quant_x_move_aft")(xq)
+        # integer-core fast path: shared int8 input codes for the v dot
+        # and the qkx einsum (see QAttentionQKR / ops/int8_qlinear.py)
+        use_int8 = False
+        if (self.matmul_impl == "int8" and not self.frozen_wqk
+                and self.input_bits < 32 and self.weight_bits < 32):
+            from ..ops.int8_qlinear import int8_eligible
+
+            use_int8 = int8_eligible(self.weight_bits, self.input_bits)
+
+        x1 = LearnableBias(C, name="quant_x_move_b4")(tokens)
+        if use_int8:
+            from ..nn.linear import _BiasParam, _ScaleParam
+            from ..ops.int8_qlinear import int8_statsq_dot
+            from ..quant.lsq import (
+                _broadcast_scale, grad_scale_factor, thresholds)
+            from ..quant.ste import clip_lower, grad_scale, round_pass
+
+            s = _ScaleParam(self.input_bits, False, name="quant_x")(x1)
+            if not self.aq_learnable:
+                s = jax.lax.stop_gradient(s)
+            gf = grad_scale_factor(x1.shape, self.input_bits, False, -2)
+            s_b = _broadcast_scale(s, x1.shape, -2)
+            s_eff = grad_scale(clip_lower(s_b, 1e-5), gf).astype(x1.dtype)
+            thd_neg, thd_pos = thresholds(self.input_bits, False)
+            xi = round_pass(jnp.clip(x1 / s_eff, thd_neg, thd_pos))
+            bx = _BiasParam(C, name="quant_x_move_aft")()
+            xq = xi * s_eff + bx.astype(xi.dtype)
+        else:
+            xq = LsqAct(self.input_bits, channel_axis=-2,
+                        learnable=self.aq_learnable, name="quant_x")(x1)
+            xq = LearnableBias(C, name="quant_x_move_aft")(xq)
 
         v_kernel = self.param(
             "v_kernel", nn.initializers.lecun_normal(), (C, C), jnp.float32)
         v_bias = self.param("v_bias", nn.initializers.zeros, (C,), jnp.float32)
-        vq = (statsq_quantize(v_kernel, self.weight_bits)
-              if self.weight_bits < 32 else v_kernel)
-        if self.compute_dtype is not None:
-            vq = vq.astype(self.compute_dtype)
-        v_out = xq @ vq + v_bias.astype(xq.dtype)
+        if use_int8:
+            v_out = (int8_statsq_dot(xi, v_kernel, self.weight_bits) * s_eff
+                     + bx.astype(xi.dtype) @ statsq_quantize(
+                         v_kernel, self.weight_bits).astype(xi.dtype)
+                     + v_bias.astype(xi.dtype))
+        else:
+            vq = (statsq_quantize(v_kernel, self.weight_bits)
+                  if self.weight_bits < 32 else v_kernel)
+            if self.compute_dtype is not None:
+                vq = vq.astype(self.compute_dtype)
+            v_out = xq @ vq + v_bias.astype(xq.dtype)
         v_out = LearnableBias(C, name="move_v_b4")(v_out)
         v_out = LsqAct(self.input_bits, channel_axis=-1,
                        learnable=self.aq_learnable, name="quan_v")(v_out)
         v_out = LearnableBias(C, name="move_v_aft")(v_out)
-        v = v_out.reshape(Bn, n, H, d).transpose(0, 2, 1, 3)
+        v = v_out.reshape(Bn, n, H, d)  # natural layout, no transpose
 
         if self.frozen_wqk:
             w_qk = self.param(
@@ -333,24 +368,32 @@ class QSwinAttentionQKR(WindowAttentionBase):
             w_qk = jnp.einsum(
                 "ihd,jhd->hij",
                 q_kernel.reshape(C, H, d), k_kernel.reshape(C, H, d))
-            w_qk = statsq_quantize(
-                w_qk.reshape(H * C, C), self.weight_bits, reduce_axis=-1
-            ).reshape(H, C, C)
-        if self.compute_dtype is not None:
+            w_qk = w_qk.reshape(H * C, C)
+            if not use_int8:
+                w_qk = statsq_quantize(
+                    w_qk, self.weight_bits, reduce_axis=-1)
+            w_qk = w_qk.reshape(H, C, C)
+        if self.compute_dtype is not None and not use_int8:
             w_qk = w_qk.astype(self.compute_dtype)
 
-        # keep the natural (Bn, n, H, C) matmul-output layout through the
-        # bias/LSQ chain (see QAttentionQKR — avoids two materialized
-        # transposes per block; numerically identical)
-        qkx = jnp.einsum("bnj,hij->bnhi", xq, w_qk)
-        qkx = qkx.reshape(Bn, n, H * C)
-        qkx = LearnableBias(H * C, name="move_qkx_b4")(qkx)
-        qkx = qkx.reshape(Bn, n * H, C)
-        qkx = LsqAct(self.input_bits, channel_axis=-2,
+        # the 4-D (Bn, n, H, C) bias/LSQ chain with multi-axis params —
+        # zero reshapes (see QAttentionQKR: each (Bn, n, H*C)/(Bn, n*H, C)
+        # flattening materializes a layout copy); params stay flat
+        if use_int8:
+            w_qk_t = w_qk.reshape(H * C, C).T
+            qkx = int8_statsq_dot(xi, w_qk_t, self.weight_bits)
+            wq_t = statsq_quantize(
+                w_qk_t, self.weight_bits, reduce_axis=0).astype(xi.dtype)
+            qkx = (qkx * s_eff + bx.astype(xi.dtype) @ wq_t
+                   ).reshape(Bn, n, H, C)
+        else:
+            qkx = jnp.einsum("bnj,hij->bnhi", xq, w_qk)  # (Bn, n, H, C)
+        qkx = LearnableBias(H * C, apply_shape=(H, C),
+                            name="move_qkx_b4")(qkx)
+        qkx = LsqAct(self.input_bits, channel_axis=(1, 2),
                      learnable=self.aq_learnable, name="quan_qkx")(qkx)
-        qkx = qkx.reshape(Bn, n, H * C)
-        qkx = LearnableBias(H * C, name="move_qkx_aft")(qkx)
-        qkx = qkx.reshape(Bn, n, H, C)
+        qkx = LearnableBias(H * C, apply_shape=(H, C),
+                            name="move_qkx_aft")(qkx)
 
         attn = jnp.einsum("bnc,bmhc->bhnm", xq, qkx) * (d ** -0.5)
         attn = attn + self.rel_pos_bias().astype(attn.dtype)
@@ -362,8 +405,7 @@ class QSwinAttentionQKR(WindowAttentionBase):
                           learnable=self.aq_learnable,
                           name="quan_softmax")(attn)
         attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(Bn, n, C)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(Bn, n, C)
         out = QLinear(
             C, weight_bits=self.weight_bits, input_bits=self.input_bits,
             symmetric=True, aq_learnable=self.aq_learnable,

@@ -205,13 +205,11 @@ class QAttention(nn.Module):
         v = LsqAct(self.input_bits, channel_axis=-1,
                    learnable=self.aq_learnable, name="quan_v")(v)
         if self.input_bits < 32:
-            q = q.reshape(B, N, C)
-            k = k.reshape(B, N, C)
-            q = LearnableBias(C, name="move_q_aft")(q)
-            k = LearnableBias(C, name="move_k_aft")(k)
+            # flat (C,) bias params applied in the 4-D layout (reshape-free;
+            # see LearnableBias.apply_shape)
+            q = LearnableBias(C, apply_shape=(H, d), name="move_q_aft")(q)
+            k = LearnableBias(C, apply_shape=(H, d), name="move_k_aft")(k)
             v = LearnableBias(C, name="move_v_aft")(v)
-            q = q.reshape(B, N, H, d)
-            k = k.reshape(B, N, H, d)
         v = v.reshape(B, N, H, d)
 
         attn_info = None
