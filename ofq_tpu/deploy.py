@@ -224,10 +224,16 @@ def _lsq_weight_scale(names, path):
     return names.get(key)
 
 
-def restore_packed(exported: dict) -> dict:
+def restore_packed(exported: dict, *, int_core: bool = False) -> dict:
     """Invert export_packed: returns a nested param tree with dequantized
     kernels and `w_qk_frozen` entries, ready for a
-    `QuantPolicy(weight_frozen=True)` model."""
+    `QuantPolicy(weight_frozen=True)` model.
+
+    int_core=True additionally writes the artifact's ORIGINAL StatsQ
+    scales as sibling params (kernel_scale / v_kernel_scale / w_qk_scale)
+    for a `QuantPolicy(weight_frozen=True, frozen_int_bits=b)` model:
+    serving then reconstructs the integer codes exactly and runs the
+    matmuls on the int8 MXU path (serve --int-core)."""
     meta = json.loads(bytes(exported["__meta__"]).decode())
     tree: dict = {}
     done = set()
@@ -241,6 +247,14 @@ def restore_packed(exported: dict) -> dict:
         if info["kind"] == "statsq":
             # scale axis: broadcast shape saved as-is
             w = _statsq_decode(codes, s, bits).reshape(info["shape"])
+            if int_core:
+                path = tuple(key.split("/"))
+                if path[-1] == "w_qk_frozen":
+                    _set(tree, path[:-1] + ("w_qk_scale",),
+                         np.asarray(s, np.float32))
+                else:
+                    _set(tree, path[:-1] + (path[-1] + "_scale",),
+                         np.asarray(s, np.float32))
         else:
             w = _lsq_decode(codes, s, bits).reshape(info["shape"])
         _set(tree, tuple(key.split("/")), np.asarray(w, np.float32))

@@ -127,6 +127,7 @@ class Block(nn.Module):
 
         # deploy mode: kernels already hold dequantized StatsQ values
         wb = 32 if pol.weight_frozen else pol.weight.bit
+        fib = pol.frozen_int_bits if pol.weight_frozen else None
         h = make_norm(cfg.norm_layer, cfg.ln_eps, "norm1", deterministic,
                       cfg.compute_dtype)(x)
         if pol.quantizes(attn_path):
@@ -137,7 +138,7 @@ class Block(nn.Module):
             if pol.qk_reparam:
                 attn = QAttentionQKR(
                     num_heads=cfg.num_heads,
-                    frozen_wqk=pol.weight_frozen,
+                    frozen_wqk=pol.weight_frozen, frozen_int_bits=fib,
                     weight_bits=wb, input_bits=pol.act.bit,
                     aq_learnable=pol.act.learnable,
                     wq_learnable=pol.weight.learnable,
@@ -148,7 +149,7 @@ class Block(nn.Module):
                     name="attn")
             else:
                 attn = QAttention(
-                    num_heads=cfg.num_heads,
+                    num_heads=cfg.num_heads, frozen_int_bits=fib,
                     weight_bits=wb, input_bits=pol.act.bit,
                     aq_learnable=pol.act.learnable,
                     wq_learnable=pol.weight.learnable,
@@ -176,6 +177,7 @@ class Block(nn.Module):
         if pol.quantizes(mlp_path):
             mlp = QMlp(
                 hidden_features=hidden, out_features=C,
+                frozen_int_bits=fib,
                 weight_bits=wb, input_bits=pol.act.bit,
                 aq_learnable=pol.act.learnable,
                 wq_learnable=pol.weight.learnable,

@@ -295,6 +295,8 @@ class QSwinAttentionQKR(WindowAttentionBase):
     compute_dtype: Optional[str] = None
     # deployment mode (ofq_tpu/deploy.py): stored quantized W_qk product
     frozen_wqk: bool = False
+    # serve --int-core (see QAttentionQKR)
+    frozen_int_bits: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -311,6 +313,10 @@ class QSwinAttentionQKR(WindowAttentionBase):
             from ..ops.int8_qlinear import int8_eligible
 
             use_int8 = int8_eligible(self.weight_bits, self.input_bits)
+        frozen_int = (self.frozen_wqk and self.frozen_int_bits is not None
+                      and 2 <= self.frozen_int_bits <= 4
+                      and self.input_bits < 32)
+        use_int8 = use_int8 or frozen_int
 
         x1 = LearnableBias(C, name="quant_x_move_b4")(tokens)
         if use_int8:
@@ -338,7 +344,17 @@ class QSwinAttentionQKR(WindowAttentionBase):
         v_kernel = self.param(
             "v_kernel", nn.initializers.lecun_normal(), (C, C), jnp.float32)
         v_bias = self.param("v_bias", nn.initializers.zeros, (C,), jnp.float32)
-        if use_int8:
+        if frozen_int:
+            from ..ops.int8_qlinear import frozen_weight_int, int8_code_dot
+
+            v_scale = self.param("v_kernel_scale", nn.initializers.ones,
+                                 (1, C), jnp.float32)
+            v_int, v_col = frozen_weight_int(
+                v_kernel, v_scale, self.frozen_int_bits)
+            v_out = (int8_code_dot(xi, v_int, v_col).astype(xi.dtype) * s_eff
+                     + bx.astype(xi.dtype) @ v_kernel.astype(xi.dtype)
+                     + v_bias.astype(xi.dtype))
+        elif use_int8:
             v_out = (int8_statsq_dot(xi, v_kernel, self.weight_bits) * s_eff
                      + bx.astype(xi.dtype) @ statsq_quantize(
                          v_kernel, self.weight_bits).astype(xi.dtype)
@@ -379,7 +395,19 @@ class QSwinAttentionQKR(WindowAttentionBase):
         # the 4-D (Bn, n, H, C) bias/LSQ chain with multi-axis params —
         # zero reshapes (see QAttentionQKR: each (Bn, n, H*C)/(Bn, n*H, C)
         # flattening materializes a layout copy); params stay flat
-        if use_int8:
+        if frozen_int:
+            from ..ops.int8_qlinear import frozen_weight_int, int8_code_dot
+
+            qk_scale = self.param("w_qk_scale", nn.initializers.ones,
+                                  (H * C, 1), jnp.float32)
+            wq_flat = w_qk.reshape(H * C, C)
+            qk_int, qk_col = frozen_weight_int(
+                wq_flat, qk_scale, self.frozen_int_bits)
+            qkx = (int8_code_dot(xi, qk_int.T, qk_col).astype(xi.dtype)
+                   * s_eff
+                   + bx.astype(xi.dtype) @ wq_flat.T.astype(xi.dtype)
+                   ).reshape(Bn, n, H, C)
+        elif use_int8:
             w_qk_t = w_qk.reshape(H * C, C).T
             qkx = int8_statsq_dot(xi, w_qk_t, self.weight_bits)
             wq_t = statsq_quantize(
@@ -409,7 +437,7 @@ class QSwinAttentionQKR(WindowAttentionBase):
         out = QLinear(
             C, weight_bits=self.weight_bits, input_bits=self.input_bits,
             symmetric=True, aq_learnable=self.aq_learnable,
-            matmul_impl=self.matmul_impl,
+            matmul_impl=self.matmul_impl, frozen_int_bits=self.frozen_int_bits,
             compute_dtype=self.compute_dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
         return self.finish(out, geom), None
@@ -449,6 +477,8 @@ class PatchMerging(nn.Module):
             return QLinear(
                 2 * self.dim,
                 weight_bits=(32 if pol.weight_frozen else pol.weight.bit),
+                frozen_int_bits=(pol.frozen_int_bits if pol.weight_frozen
+                                 else None),
                 input_bits=pol.act.bit, symmetric=True,
                 aq_learnable=pol.act.learnable, use_bias=True,
                 compute_dtype=self.compute_dtype,
@@ -487,6 +517,7 @@ class SwinBlock(nn.Module):
             common["attn_drop"] = (cfg.attn_drop_rate
                                    if pol.attn_dropout_enabled else 0.0)
             wb = 32 if pol.weight_frozen else pol.weight.bit
+            fib = pol.frozen_int_bits if pol.weight_frozen else None
             qkw = dict(weight_bits=wb, input_bits=pol.act.bit,
                        aq_learnable=pol.act.learnable,
                        wq_learnable=pol.weight.learnable,
@@ -496,6 +527,7 @@ class SwinBlock(nn.Module):
             if pol.qk_reparam:
                 attn_out, info = QSwinAttentionQKR(
                     name="attn", frozen_wqk=pol.weight_frozen,
+                    frozen_int_bits=fib,
                     **qkw, **common)(h, deterministic=deterministic)
             else:
                 attn_out, info = QSwinAttention(
@@ -518,6 +550,8 @@ class SwinBlock(nn.Module):
             mlp_out = QMlp(
                 hidden_features=hidden, out_features=self.dim,
                 weight_bits=(32 if pol.weight_frozen else pol.weight.bit),
+                frozen_int_bits=(pol.frozen_int_bits if pol.weight_frozen
+                                 else None),
                 input_bits=pol.act.bit,
                 aq_learnable=pol.act.learnable,
                 wq_learnable=pol.weight.learnable,

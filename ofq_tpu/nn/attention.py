@@ -169,6 +169,7 @@ class QAttention(nn.Module):
     matmul_impl: Optional[str] = None
     attn_impl: Optional[str] = None  # 'fused' -> Pallas attention core
     compute_dtype: Optional[object] = None
+    frozen_int_bits: Optional[int] = None  # serve --int-core passthrough
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True):
@@ -185,7 +186,8 @@ class QAttention(nn.Module):
             lin_kwargs.update(wq_all_positive=self.wq_all_positive)
         else:
             lin_kwargs.update(
-                matmul_impl=self.matmul_impl, compute_dtype=self.compute_dtype)
+                matmul_impl=self.matmul_impl, compute_dtype=self.compute_dtype,
+                frozen_int_bits=self.frozen_int_bits)
         qkv = linear_cls(3 * C, name="qkv", **lin_kwargs)(x)
         if self.input_bits < 32:
             qkv = LearnableBias(3 * C, name="move_qkv_b4")(qkv)
@@ -286,6 +288,10 @@ class QAttentionQKR(nn.Module):
     # quantized `w_qk_frozen` (H, C, C) instead of rebuilding and
     # re-quantizing the product from q/k kernels every forward
     frozen_wqk: bool = False
+    # serve --int-core: reconstruct integer codes from the frozen values
+    # + stored scales (v_kernel_scale / w_qk_scale params) and run the
+    # v / qkx dots on the int8 MXU path
+    frozen_int_bits: Optional[int] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True):
@@ -311,6 +317,10 @@ class QAttentionQKR(nn.Module):
             from ..ops.int8_qlinear import int8_eligible
 
             use_int8 = int8_eligible(self.weight_bits, self.input_bits)
+        frozen_int = (self.frozen_wqk and self.frozen_int_bits is not None
+                      and 2 <= self.frozen_int_bits <= 4
+                      and self.input_bits < 32 and not self.qqkkvv)
+        use_int8 = use_int8 or frozen_int
 
         # One shared input quantization for both the v-linear and the
         # X @ W_qk @ X^T chain (attention.py:124, 177).
@@ -344,7 +354,17 @@ class QAttentionQKR(nn.Module):
         v_kernel = self.param(
             "v_kernel", nn.initializers.lecun_normal(), (C, C), jnp.float32)
         v_bias = self.param("v_bias", nn.initializers.zeros, (C,), jnp.float32)
-        if use_int8:
+        if frozen_int:
+            from ..ops.int8_qlinear import frozen_weight_int, int8_code_dot
+
+            v_scale = self.param("v_kernel_scale", nn.initializers.ones,
+                                 (1, C), jnp.float32)
+            v_int, v_col = frozen_weight_int(
+                v_kernel, v_scale, self.frozen_int_bits)
+            v_out = (int8_code_dot(xi, v_int, v_col).astype(xi.dtype) * s_eff
+                     + bx.astype(xi.dtype) @ v_kernel.astype(xi.dtype)
+                     + v_bias.astype(xi.dtype))
+        elif use_int8:
             v_out = (int8_statsq_dot(xi, v_kernel, self.weight_bits) * s_eff
                      + bx.astype(xi.dtype) @ statsq_quantize(
                          v_kernel, self.weight_bits).astype(xi.dtype)
@@ -397,7 +417,19 @@ class QAttentionQKR(nn.Module):
         # checkpoints and the torch converter are unaffected; the
         # per-(token,head) scale semantics are identical (same groups,
         # same grad factor B*C, same flat ordering n*H+h).
-        if use_int8:
+        if frozen_int:
+            from ..ops.int8_qlinear import frozen_weight_int, int8_code_dot
+
+            qk_scale = self.param("w_qk_scale", nn.initializers.ones,
+                                  (H * C, 1), jnp.float32)
+            wq_flat = w_qk.reshape(H * C, C)
+            qk_int, qk_col = frozen_weight_int(
+                wq_flat, qk_scale, self.frozen_int_bits)
+            qkx = (int8_code_dot(xi, qk_int.T, qk_col).astype(xi.dtype)
+                   * s_eff
+                   + bx.astype(xi.dtype) @ wq_flat.T.astype(xi.dtype)
+                   ).reshape(B, N, H, C)
+        elif use_int8:
             # int8 codes shared with the v dot; the (B,N,H*C) -> 4-D split
             # of trailing dims is layout-free (unlike the N,H merge)
             w_qk_t = w_qk.reshape(H * C, C).T  # (C, H*C): per-column scale
@@ -444,7 +476,7 @@ class QAttentionQKR(nn.Module):
                 C, weight_bits=self.weight_bits, input_bits=self.input_bits,
                 symmetric=True, aq_learnable=self.aq_learnable,
                 matmul_impl=self.matmul_impl, compute_dtype=self.compute_dtype,
-                name="proj")(out)
+                frozen_int_bits=self.frozen_int_bits, name="proj")(out)
             out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
             return out, None
 
@@ -478,6 +510,6 @@ class QAttentionQKR(nn.Module):
             C, weight_bits=self.weight_bits, input_bits=self.input_bits,
             symmetric=True, aq_learnable=self.aq_learnable,
             matmul_impl=self.matmul_impl, compute_dtype=self.compute_dtype,
-            name="proj")(out)
+            frozen_int_bits=self.frozen_int_bits, name="proj")(out)
         out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
         return out, attn_info

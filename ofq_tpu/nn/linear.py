@@ -139,6 +139,10 @@ class QLinear(nn.Module):
     bias_init: Callable = nn.initializers.zeros
     matmul_impl: Optional[str] = None
     compute_dtype: Optional[Dtype] = None
+    # serving: kernel holds DEQUANTIZED StatsQ values of this many bits;
+    # with the artifact's scale (kernel_scale param) the integer codes are
+    # reconstructed exactly and the dot runs int8 (serve --int-core)
+    frozen_int_bits: Optional[int] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -146,6 +150,25 @@ class QLinear(nn.Module):
         kernel = self.param(
             "kernel", self.kernel_init, (in_features, self.features), jnp.float32
         )
+        if (self.frozen_int_bits is not None and self.input_bits < 32
+                and 2 <= self.frozen_int_bits <= 4):
+            from ..ops.int8_qlinear import frozen_int8_forward
+
+            b_pre = _BiasParam(in_features, name="move_b4")()
+            s = _ScaleParam(self.input_bits, not self.symmetric,
+                            name="input_quant")(x)
+            b_post = _BiasParam(in_features, name="move_aft")()
+            w_scale = self.param("kernel_scale", nn.initializers.ones,
+                                 (1, self.features), jnp.float32)
+            y = frozen_int8_forward(
+                x, kernel, w_scale, s, b_pre, b_post,
+                w_bits=self.frozen_int_bits, a_bits=self.input_bits,
+                all_positive=not self.symmetric)
+            if self.use_bias:
+                b = self.param("bias", self.bias_init, (self.features,),
+                               jnp.float32)
+                y = y + b.astype(y.dtype)
+            return y
         if (self.matmul_impl == "fused" and self.input_bits < 32
                 and self.weight_bits < 32):
             from ..ops.fused_qlinear import fused_qlinear
@@ -327,6 +350,7 @@ class QMlp(nn.Module):
     wq_all_positive: bool = False
     matmul_impl: Optional[str] = None
     compute_dtype: Optional[Dtype] = None
+    frozen_int_bits: Optional[int] = None  # serve --int-core passthrough
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
@@ -349,12 +373,14 @@ class QMlp(nn.Module):
                 input_bits=self.input_bits, symmetric=True,
                 aq_learnable=self.aq_learnable,
                 matmul_impl=self.matmul_impl, compute_dtype=self.compute_dtype,
+                frozen_int_bits=self.frozen_int_bits,
                 name="fc1")
             fc2 = QLinear(
                 self.out_features, weight_bits=self.weight_bits,
                 input_bits=self.input_bits, symmetric=False,
                 aq_learnable=self.aq_learnable,
                 matmul_impl=self.matmul_impl, compute_dtype=self.compute_dtype,
+                frozen_int_bits=self.frozen_int_bits,
                 name="fc2")
         x = fc1(x)
         x = apply_act(self.act_layer, x)

@@ -184,3 +184,48 @@ def _int8_statsq_dot_bwd(w_bits, res, g):
 
 
 int8_statsq_dot.defvjp(_int8_statsq_dot_fwd, _int8_statsq_dot_bwd)
+
+
+# ------------------------------------------------------ frozen serving
+def frozen_weight_int(w_q: jax.Array, w_scale: jax.Array, bits: int):
+    """Reconstruct integer codes from a DEQUANTIZED StatsQ kernel and its
+    stored original scale (ofq_tpu.serve --int-core).
+
+    w_q = s*(2k+1)/2n, so round(w_q * 2n / s) == 2k+1 EXACTLY (|2k+1| <=
+    15 at W<=4; fp32 rounding error ~1e-7 relative, snapped by round).
+    StatsQ is not idempotent, so `s` must be the artifact's scale — it
+    cannot be recomputed from w_q."""
+    n = float(2 ** (bits - 1))
+    col = jnp.maximum(w_scale.astype(jnp.float32), 1e-12) / (2.0 * n)
+    w_int = jnp.round(w_q.astype(jnp.float32) / col)
+    return w_int, col
+
+
+def int8_code_dot(xi: jax.Array, w_int: jax.Array, col: jax.Array):
+    """int8 dot on given integer codes; returns fp32 (..., out) already
+    column-rescaled.  Inference building block (no VJP: serving only)."""
+    acc = jax.lax.dot_general(
+        xi.astype(jnp.int8), w_int.astype(jnp.int8),
+        (((xi.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * col.reshape(-1)
+
+
+def frozen_int8_forward(x, w_q, w_scale, s, b_pre, b_post, *,
+                        w_bits, a_bits, all_positive):
+    """Inference-only integer-core QLinear on frozen (dequantized) kernels:
+    same factorization as int8_qlinear, with W_int reconstructed from the
+    stored scale instead of re-derived from live weights."""
+    x1 = x + b_pre.astype(x.dtype)
+    s_b = _broadcast_scale(s, x1.shape, -2)
+    s_eff = jnp.maximum(s_b, _S_EPS).astype(x.dtype)
+    xi = _act_int(x1, s_eff, a_bits, all_positive)
+    w_int, col = frozen_weight_int(w_q, w_scale, w_bits)
+    acc = jax.lax.dot_general(
+        xi.astype(jnp.int8), w_int.astype(jnp.int8),
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    bq = b_post.astype(jnp.float32) @ w_q.astype(jnp.float32)
+    y = (acc.astype(jnp.float32) * s_eff.astype(jnp.float32)
+         * col.reshape(-1) + bq)
+    return y.astype(x.dtype)

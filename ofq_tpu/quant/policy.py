@@ -70,6 +70,13 @@ class QuantPolicy:
     # `w_qk_frozen` instead of rebuilding the product from q/k kernels.
     # Activation quantizers and LSQ-weight layers (idempotent) run as usual.
     weight_frozen: bool = False
+    # Integer-core serving (ofq_tpu.serve --int-core): with weight_frozen,
+    # carry the artifact's ORIGINAL StatsQ scales in the param tree
+    # (kernel_scale / w_qk_scale, written by deploy.restore_packed) and
+    # reconstruct the integer codes exactly (W_int = round(w_q*2n/s)), so
+    # the serving matmuls run int8 x int8 -> int32 on the MXU with EXACT
+    # accumulation (ops/int8_qlinear.py).  None -> fp frozen serving.
+    frozen_int_bits: int | None = None
 
     @property
     def quantize_softmax(self) -> bool:

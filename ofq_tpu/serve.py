@@ -139,9 +139,15 @@ def export_experiment(exp_dir: str, out_path: str, *,
 
 
 def predictor_from_artifact(npz_path: str, args_yaml: str, *,
-                            batch_size: int = 64) -> "Predictor":
+                            batch_size: int = 64,
+                            int_core: bool = False) -> "Predictor":
     """Build a frozen-weight Predictor from a packed artifact + the
-    experiment's args.yaml (for the model/policy configuration)."""
+    experiment's args.yaml (for the model/policy configuration).
+
+    int_core=True serves through the integer-core path: StatsQ matmuls
+    consume the artifact's int codes directly on the MXU's int8 path
+    (exact int32 accumulation; the fp frozen path's logits differ only by
+    its own fp summation rounding)."""
     import dataclasses as _dc
 
     from .cli.common import build_parser, policy_from_namespace
@@ -154,12 +160,13 @@ def predictor_from_artifact(npz_path: str, args_yaml: str, *,
     for k, v in saved.items():
         if hasattr(args, k):
             setattr(args, k, v)
-    policy = _dc.replace(policy_from_namespace(args), weight_frozen=True)
+    policy = _dc.replace(policy_from_namespace(args), weight_frozen=True,
+                         frozen_int_bits=(args.wq_bitw if int_core else None))
     # build through the runner path so every model-affecting flag of the
     # experiment (compute_dtype, matmul/attn impls, norm swap, img size)
     # applies identically to the frozen model
     model = build_model(args, policy)
-    restored = restore_packed(dict(np.load(npz_path)))
+    restored = restore_packed(dict(np.load(npz_path)), int_core=int_core)
     params = {"params": jax.tree.map(jnp.asarray, restored)}
     return Predictor(model, params, batch_size=batch_size,
                      img_size=args.img_size)
@@ -172,15 +179,37 @@ def main(argv=None):
     ap.add_argument("--export", default=None, metavar="OUT_NPZ",
                     help="freeze the experiment into a packed-integer "
                          "deployment artifact instead of serving")
+    ap.add_argument("--artifact", default=None, metavar="NPZ",
+                    help="serve a packed artifact (exp_dir supplies "
+                         "args.yaml) instead of restoring a checkpoint")
+    ap.add_argument("--int-core", action="store_true",
+                    help="serve the artifact through the int8 MXU path "
+                         "(exact integer accumulation)")
+    ap.add_argument("--bench-iters", type=int, default=0,
+                    help="time N predict() calls and report img/s")
     a = ap.parse_args(argv)
     if a.export:
         export_experiment(a.exp_dir, a.export)
         return
-    p = Predictor.from_experiment(a.exp_dir, batch_size=a.batch_size)
+    if a.artifact:
+        p = predictor_from_artifact(
+            a.artifact, os.path.join(a.exp_dir, "args.yaml"),
+            batch_size=a.batch_size, int_core=a.int_core)
+    else:
+        p = Predictor.from_experiment(a.exp_dir, batch_size=a.batch_size)
     x = np.random.default_rng(0).normal(
         size=(a.batch_size, p.img_size, p.img_size, 3)).astype(np.float32)
     probs = p.predict(x)
     print("predict ok:", probs.shape, "max prob:", float(probs.max()))
+    if a.bench_iters:
+        import time
+
+        t0 = time.perf_counter()
+        for _ in range(a.bench_iters):
+            probs = p.predict(x)
+        dt = time.perf_counter() - t0
+        print(f"serving rate: {a.batch_size * a.bench_iters / dt:.1f} "
+              f"img/s (B={a.batch_size}, int_core={a.int_core})")
 
 
 if __name__ == "__main__":

@@ -93,6 +93,34 @@ class TestExportRestore:
         # biases, scales, embeddings) cap the whole-artifact ratio
         assert ratio > 3.0, ratio
 
+    @pytest.mark.parametrize("qk_reparam", [False, True])
+    def test_int_core_serving_parity(self, qk_reparam):
+        """serve --int-core: the int8 integer-core frozen path must agree
+        with the frozen-fp path (same codes by construction — the int
+        path's accumulation is EXACT int32, so any difference is the fp
+        path's own summation rounding) and preserve every prediction."""
+        pol, model, params, x = self._build(qk_reparam)
+        exported = export_packed(
+            jax.tree.map(np.asarray, params["params"]),
+            weight_bits=2, qk_reparam=qk_reparam, num_heads=TINY.num_heads)
+
+        frozen_pol = dataclasses.replace(pol, weight_frozen=True)
+        fp_model = VisionTransformer(cfg=TINY, policy=frozen_pol)
+        fp_logits, _ = fp_model.apply(
+            {"params": jax.tree.map(jnp.asarray, restore_packed(exported))},
+            x, train=False)
+
+        int_pol = dataclasses.replace(pol, weight_frozen=True,
+                                      frozen_int_bits=2)
+        int_model = VisionTransformer(cfg=TINY, policy=int_pol)
+        restored = restore_packed(exported, int_core=True)
+        int_logits, _ = int_model.apply(
+            {"params": jax.tree.map(jnp.asarray, restored)}, x, train=False)
+        np.testing.assert_allclose(int_logits, fp_logits,
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_array_equal(np.argmax(int_logits, -1),
+                                      np.argmax(fp_logits, -1))
+
     def test_frozen_tree_has_no_qk_kernels(self):
         _, _, params, _ = self._build(True)
         exported = export_packed(

@@ -76,6 +76,41 @@ def test_tp_dp_train_step(eight_devices):
         assert bool(jnp.isfinite(metrics["loss"]))
 
 
+def test_tp2_matches_single_device_base_geometry(eight_devices):
+    """TP=2 x DP=4 must compute the same loss as a single device, at
+    DeiT-B geometry (embed 768, 12 heads — the scale docs/SCALING.md §3
+    claims TP pays at; depth/img reduced to keep the CPU test tractable,
+    the per-layer shapes and Megatron column/row specs are DeiT-B's)."""
+    cfg = DeiTConfig(img_size=64, patch_size=16, embed_dim=768, depth=2,
+                     num_heads=12, num_classes=10)
+    pol = policy_from_args(wq_bitw=2, aq_bitw=2,
+                           qmodules=default_deit_qmodules(2),
+                           qk_reparam=True, qk_reparam_type=0)
+    model = VisionTransformer(cfg=cfg, policy=pol)
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(8, 64, 64, 3)),
+                    jnp.float32)
+    params = model.init({"params": jax.random.key(0)}, x)
+    tx = make_optimizer(lambda _: 1e-3)
+    batch = {"image": x, "label": jnp.arange(8) % 10}
+    step = make_train_step(model, tx, loss_kind="ce")
+
+    state0 = TrainState.create(params, tx)
+    _, m_single = jax.jit(step)(state0, batch, jax.random.key(0))
+
+    mesh = make_mesh(8, model_parallel=2)
+    with jax.set_mesh(mesh):
+        sharded = shard_params(params["params"], mesh)
+        assert sharded["blocks_0"]["mlp"]["fc1"]["kernel"].sharding.spec \
+            == P(None, "model")
+        sp = {"params": sharded}
+        state1 = jax.jit(lambda p: TrainState.create(p, tx))(sp)
+        bs = batch_shardings(mesh)
+        sbatch = {k: jax.device_put(v, bs[k]) for k, v in batch.items()}
+        _, m_tp = jax.jit(step)(state1, sbatch, jax.random.key(0))
+    np.testing.assert_allclose(
+        float(m_single["loss"]), float(m_tp["loss"]), rtol=1e-4)
+
+
 def test_dp_matches_single_device(eight_devices):
     """The sharded step must compute the same numbers as unsharded."""
     pol = policy_from_args(wq_bitw=2, aq_bitw=2,
