@@ -57,19 +57,23 @@ def step_gflops_per_img() -> float:
     return deit_step_flops(batch=BATCH).total
 
 
-def build(matmul_impl=None, compute_dtype=None, batch=BATCH):
-    from ofq_tpu.models import deit_model
-    from ofq_tpu.quant import default_deit_qmodules, policy_from_args
+def build(matmul_impl=None, compute_dtype=None, batch=BATCH,
+          model="deit_small_distilled_patch16_224"):
+    from ofq_tpu.models import create_model
+    from ofq_tpu.quant import (default_deit_qmodules, default_swin_qmodules,
+                               policy_from_args)
     from ofq_tpu.train import TrainState, make_optimizer, make_train_step
     from ofq_tpu.train.schedule import cosine_with_warmup_cooldown
 
+    qmods = (default_swin_qmodules() if model.startswith("swin")
+             else default_deit_qmodules(12))
     policy = policy_from_args(
-        wq_bitw=2, aq_bitw=2, qmodules=default_deit_qmodules(12),
+        wq_bitw=2, aq_bitw=2, qmodules=qmods,
         qk_reparam=True, qk_reparam_type=0)
-    student = deit_model("deit_small_distilled_patch16_224", policy=policy,
-                         matmul_impl=matmul_impl, compute_dtype=compute_dtype)
-    teacher = deit_model("deit_small_distilled_patch16_224",
-                         compute_dtype=compute_dtype)
+    student = create_model(model, policy=policy,
+                           matmul_impl=matmul_impl,
+                           compute_dtype=compute_dtype)
+    teacher = create_model(model, compute_dtype=compute_dtype)
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(batch, 224, 224, 3)), jnp.float32)
@@ -97,8 +101,10 @@ def build(matmul_impl=None, compute_dtype=None, batch=BATCH):
 
 
 def measure(matmul_impl=None, compute_dtype=None, iters=ITERS,
-            batch=BATCH, rounds=3):
-    step, state, batch_d, tparams = build(matmul_impl, compute_dtype, batch)
+            batch=BATCH, rounds=3,
+            model="deit_small_distilled_patch16_224"):
+    step, state, batch_d, tparams = build(matmul_impl, compute_dtype, batch,
+                                          model)
     key = jax.random.key(2)
     n = 0
     for _ in range(WARMUP if rounds > 1 else 1):
@@ -131,7 +137,25 @@ def main():
     secondary = {}
     # bit-faithful fp32 reference path
     secondary["fp32_imgs_per_sec"] = round(measure(iters=5, rounds=2), 1)
-    # opt-in kernel smokes on the real chip (few steps, finite-loss check)
+    # integer-core training path (int8 MXU operands, exact accumulation)
+    try:
+        secondary["int8_imgs_per_sec"] = round(
+            measure(matmul_impl="int8", compute_dtype="bfloat16",
+                    iters=5, rounds=2), 1)
+    except Exception as e:  # pragma: no cover - smoke guard
+        secondary["int8_imgs_per_sec"] = f"ERROR: {e}"
+    # the other recipe families, measured on the same chip (BASELINE
+    # configs 4 / DeiT-B reach check): short runs, same step anatomy
+    for key, mdl, b in (("swin_t_imgs_per_sec", "swin_t", 64),
+                        ("deit_b_imgs_per_sec",
+                         "deit_base_distilled_patch16_224", 64)):
+        try:
+            secondary[key] = round(
+                measure(compute_dtype="bfloat16", iters=4, rounds=2,
+                        batch=b, model=mdl), 1)
+        except Exception as e:  # pragma: no cover - smoke guard
+            secondary[key] = f"ERROR: {e}"
+    # opt-in Pallas kernel smokes on the real chip (finite-loss check)
     for impl in ("pallas", "fused"):
         try:
             secondary[f"{impl}_imgs_per_sec"] = round(

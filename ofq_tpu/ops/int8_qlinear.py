@@ -107,13 +107,15 @@ def _int8_qlinear_bwd(w_bits, a_bits, all_positive, res, g):
     w_int, s_w = _weight_int(kernel.astype(jnp.float32), w_bits)
     w_q = (w_int * (s_w / (2.0 * n))).astype(x.dtype)
 
-    # dot cotangents
+    # dot cotangents — operands stay in the stream dtype (bf16 under the
+    # speed path) with fp32 accumulation, exactly like the composed path's
+    # backward dots; an fp32-operand dW dot would run the MXU at 1/4 rate
     dx2 = jax.lax.dot_general(
         g, w_q, (((g.ndim - 1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32).astype(g.dtype)
     lead = tuple(range(g.ndim - 1))
-    dkernel = jnp.einsum(
-        "...i,...o->io", x2.astype(jnp.float32), g.astype(jnp.float32))
+    dkernel = jnp.einsum("...i,...o->io", x2, g,
+                         preferred_element_type=jnp.float32)
     db_post = jnp.sum(dx2.astype(jnp.float32), axis=lead)
 
     # LSQ cotangents (identical to quant/lsq.py _lsq_fused_bwd)
@@ -178,8 +180,10 @@ def _int8_statsq_dot_bwd(w_bits, res, g):
     dxi = jax.lax.dot_general(
         g, w_q, (((g.ndim - 1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32).astype(g.dtype)
-    dkernel = jnp.einsum(
-        "...i,...o->io", xi8.astype(jnp.float32), g.astype(jnp.float32))
+    # dW in the stream dtype with fp32 accumulation (integer codes are
+    # exact in bf16); fp32 operands would quarter the MXU rate
+    dkernel = jnp.einsum("...i,...o->io", xi8.astype(g.dtype), g,
+                         preferred_element_type=jnp.float32)
     return dxi, dkernel.astype(kernel.dtype)
 
 
