@@ -42,9 +42,18 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)  # in-process compare_arms imports ofq_tpu
 
 
 def run_phase(args_list, log_path):
+    # resume support: a completed phase (summary.csv present for its
+    # experiment dir) is skipped so a crashed study restart reuses work
+    for i, tok in enumerate(args_list):
+        if tok == "--experiment":
+            exp = os.path.join(args_list[args_list.index("--output") + 1],
+                               args_list[i + 1])
+            if os.path.exists(os.path.join(exp, "summary.csv")):
+                return 0.0
     env = dict(os.environ)
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ofq_tpu_jax_cache")
     t0 = time.time()
