@@ -45,15 +45,21 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)  # in-process compare_arms imports ofq_tpu
 
 
-def run_phase(args_list, log_path):
-    # resume support: a completed phase (summary.csv present for its
-    # experiment dir) is skipped so a crashed study restart reuses work
+def run_phase(args_list, log_path, expect_rows):
+    # resume support: a COMPLETED phase is skipped so a crashed study
+    # restart reuses finished work.  summary.csv is appended every epoch,
+    # so mere existence means "started", not "done" — require the full
+    # epoch-row count, else rerun (auto-resume picks up the partial run)
     for i, tok in enumerate(args_list):
         if tok == "--experiment":
             exp = os.path.join(args_list[args_list.index("--output") + 1],
                                args_list[i + 1])
-            if os.path.exists(os.path.join(exp, "summary.csv")):
-                return 0.0
+            path = os.path.join(exp, "summary.csv")
+            if os.path.exists(path):
+                with open(path) as f:
+                    rows = sum(1 for _ in csv.DictReader(f))
+                if rows >= expect_rows:
+                    return 0.0
     env = dict(os.environ)
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ofq_tpu_jax_cache")
     t0 = time.time()
@@ -97,14 +103,14 @@ def chain(out_root, data, seed, dtype, epochs, cga_epochs, batch, steps):
     log = lambda ph: os.path.join(out_root, f"{ph}_{tag}.log")
     res["t_fp"] = run_phase(
         common + ["--experiment", f"fp_{tag}", "--epochs", str(epochs),
-                  "--lr", "2e-3"], log("fp"))
+                  "--lr", "2e-3"], log("fp"), epochs)
     res["top1_fp"] = best_top1(os.path.join(out_root, f"fp_{tag}"))
     res["t_qat"] = run_phase(
         common + quant + [
             "--experiment", f"qat_{tag}", "--epochs", str(epochs),
             "--lr", "1e-3", "--qk_reparam", "--qk_reparam_type", "0",
             "--pretrained_initialized", "--initial-checkpoint",
-            os.path.join(out_root, f"fp_{tag}")], log("qat"))
+            os.path.join(out_root, f"fp_{tag}")], log("qat"), epochs)
     res["top1_qat"] = best_top1(os.path.join(out_root, f"qat_{tag}"))
     cga = list(common)
     cga[0] = "ofq_tpu.cli.cga"
@@ -114,7 +120,8 @@ def chain(out_root, data, seed, dtype, epochs, cga_epochs, batch, steps):
             "--lr", "1e-3", "--qk_reparam", "--qk_reparam_type", "1",
             "--boundaryRange", "0.005",
             "--freeze_for_n_epochs", str(cga_epochs),
-            "--resume", os.path.join(out_root, f"qat_{tag}")], log("cga"))
+            "--resume", os.path.join(out_root, f"qat_{tag}")], log("cga"),
+        cga_epochs)
     res["top1_cga"] = best_top1(os.path.join(out_root, f"cga_{tag}"))
     return res
 

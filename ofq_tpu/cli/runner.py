@@ -283,7 +283,7 @@ class Runner:
             _logger.info("profiler trace written to %s",
                          os.path.join(self.out_dir, "trace"))
 
-    def _save_recovery(self, total_steps: int, state) -> None:
+    def _save_recovery(self, total_steps: int, state) -> bool:
         """Write a step-indexed recovery snapshot WITHOUT ever deleting
         before saving: a crash between a delete and the async save
         completing must never leave zero recovery snapshots (preemption is
@@ -299,8 +299,9 @@ class Runner:
             _logger.info(
                 "recovery snapshot for step %d already exists; keeping it",
                 total_steps)
-            return
+            return False
         save_epoch(self._recovery_mgr, total_steps, state)
+        return True
 
     def _install_preemption_handler(self):
         """SIGTERM (pod preemption / job eviction) -> finish the in-flight
@@ -597,14 +598,16 @@ class Runner:
                     just_saved = bool(
                         args.recovery_interval
                         and total_steps % args.recovery_interval == 0)
-                    if not just_saved:
-                        self._save_recovery(total_steps, state)
+                    wrote = (self._save_recovery(total_steps, state)
+                             if not just_saved else True)
                     if hasattr(self, "_recovery_mgr"):
                         self._recovery_mgr.wait_until_finished()
                     mgr.wait_until_finished()
                     _logger.warning(
                         "preempted at epoch %d step %d: recovery snapshot "
-                        "saved, exiting", epoch, total_steps)
+                        "%s, exiting", epoch, total_steps,
+                        "saved" if wrote
+                        else "already present (prior run, same step)")
                     return best
 
                 # pass the full variables dict so BN batch_stats (if any)

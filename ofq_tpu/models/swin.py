@@ -225,6 +225,9 @@ class QSwinAttention(WindowAttentionBase):
     quantize_softmax: bool = True
     matmul_impl: Optional[str] = None
     compute_dtype: Optional[str] = None
+    # serve --int-core: passthrough to the qkv/proj QLinears (the frozen
+    # kernels + stored kernel_scale params run on the int8 MXU path)
+    frozen_int_bits: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -236,7 +239,8 @@ class QSwinAttention(WindowAttentionBase):
                           input_bits=self.input_bits, symmetric=True,
                           aq_learnable=self.aq_learnable,
                           matmul_impl=self.matmul_impl,
-                          compute_dtype=self.compute_dtype)
+                          compute_dtype=self.compute_dtype,
+                          frozen_int_bits=self.frozen_int_bits)
         # natural (Bn, n, H, d) layout throughout — the head axis rides in
         # place and the einsums carry it; no materialized (Bn, H, n, d)
         # transposes (the round-2/3 DeiT layout treatment, ported: each
@@ -307,33 +311,26 @@ class QSwinAttentionQKR(WindowAttentionBase):
 
         # integer-core fast path: shared int8 input codes for the v dot
         # and the qkx einsum (see QAttentionQKR / ops/int8_qlinear.py)
-        use_int8 = False
-        if (self.matmul_impl == "int8" and not self.frozen_wqk
-                and self.input_bits < 32 and self.weight_bits < 32):
-            from ..ops.int8_qlinear import int8_eligible
+        from ..ops.int8_qlinear import int8_eligible
 
-            use_int8 = int8_eligible(self.weight_bits, self.input_bits)
+        use_int8 = (self.matmul_impl == "int8" and not self.frozen_wqk
+                    and self.input_bits < 32 and self.weight_bits < 32
+                    and int8_eligible(self.weight_bits, self.input_bits))
         frozen_int = (self.frozen_wqk and self.frozen_int_bits is not None
-                      and 2 <= self.frozen_int_bits <= 4
-                      and self.input_bits < 32)
+                      and self.input_bits < 32
+                      and int8_eligible(self.frozen_int_bits,
+                                        self.input_bits))
         use_int8 = use_int8 or frozen_int
 
         x1 = LearnableBias(C, name="quant_x_move_b4")(tokens)
         if use_int8:
             from ..nn.linear import _BiasParam, _ScaleParam
-            from ..ops.int8_qlinear import int8_statsq_dot
-            from ..quant.lsq import (
-                _broadcast_scale, grad_scale_factor, thresholds)
-            from ..quant.ste import clip_lower, grad_scale, round_pass
+            from ..ops.int8_qlinear import qkr_int8_codes
 
             s = _ScaleParam(self.input_bits, False, name="quant_x")(x1)
             if not self.aq_learnable:
                 s = jax.lax.stop_gradient(s)
-            gf = grad_scale_factor(x1.shape, self.input_bits, False, -2)
-            s_b = _broadcast_scale(s, x1.shape, -2)
-            s_eff = grad_scale(clip_lower(s_b, 1e-5), gf).astype(x1.dtype)
-            thd_neg, thd_pos = thresholds(self.input_bits, False)
-            xi = round_pass(jnp.clip(x1 / s_eff, thd_neg, thd_pos))
+            xi, s_eff = qkr_int8_codes(x1, s, self.input_bits)
             bx = _BiasParam(C, name="quant_x_move_aft")()
             xq = xi * s_eff + bx.astype(xi.dtype)
         else:
@@ -345,19 +342,18 @@ class QSwinAttentionQKR(WindowAttentionBase):
             "v_kernel", nn.initializers.lecun_normal(), (C, C), jnp.float32)
         v_bias = self.param("v_bias", nn.initializers.zeros, (C,), jnp.float32)
         if frozen_int:
-            from ..ops.int8_qlinear import frozen_weight_int, int8_code_dot
+            from ..ops.int8_qlinear import frozen_int8_linear
 
             v_scale = self.param("v_kernel_scale", nn.initializers.ones,
                                  (1, C), jnp.float32)
-            v_int, v_col = frozen_weight_int(
-                v_kernel, v_scale, self.frozen_int_bits)
-            v_out = (int8_code_dot(xi, v_int, v_col).astype(xi.dtype) * s_eff
-                     + bx.astype(xi.dtype) @ v_kernel.astype(xi.dtype)
+            v_out = (frozen_int8_linear(xi, s_eff, bx, v_kernel, v_scale,
+                                        self.frozen_int_bits)
                      + v_bias.astype(xi.dtype))
         elif use_int8:
-            v_out = (int8_statsq_dot(xi, v_kernel, self.weight_bits) * s_eff
-                     + bx.astype(xi.dtype) @ statsq_quantize(
-                         v_kernel, self.weight_bits).astype(xi.dtype)
+            from ..ops.int8_qlinear import int8_statsq_linear
+
+            v_out = (int8_statsq_linear(xi, s_eff, bx, v_kernel,
+                                        self.weight_bits)
                      + v_bias.astype(xi.dtype))
         else:
             vq = (statsq_quantize(v_kernel, self.weight_bits)
@@ -396,24 +392,22 @@ class QSwinAttentionQKR(WindowAttentionBase):
         # zero reshapes (see QAttentionQKR: each (Bn, n, H*C)/(Bn, n*H, C)
         # flattening materializes a layout copy); params stay flat
         if frozen_int:
-            from ..ops.int8_qlinear import frozen_weight_int, int8_code_dot
+            from ..ops.int8_qlinear import frozen_int8_linear
 
             qk_scale = self.param("w_qk_scale", nn.initializers.ones,
                                   (H * C, 1), jnp.float32)
-            wq_flat = w_qk.reshape(H * C, C)
-            qk_int, qk_col = frozen_weight_int(
-                wq_flat, qk_scale, self.frozen_int_bits)
-            qkx = (int8_code_dot(xi, qk_int.T, qk_col).astype(xi.dtype)
-                   * s_eff
-                   + bx.astype(xi.dtype) @ wq_flat.T.astype(xi.dtype)
-                   ).reshape(Bn, n, H, C)
+            # (in=C, out=H*C) view; per-row artifact scale becomes the
+            # per-out-column scale of the transposed view
+            qkx = frozen_int8_linear(
+                xi, s_eff, bx, w_qk.reshape(H * C, C).T,
+                qk_scale.reshape(1, -1), self.frozen_int_bits
+            ).reshape(Bn, n, H, C)
         elif use_int8:
-            w_qk_t = w_qk.reshape(H * C, C).T
-            qkx = int8_statsq_dot(xi, w_qk_t, self.weight_bits)
-            wq_t = statsq_quantize(
-                w_qk_t, self.weight_bits, reduce_axis=0).astype(xi.dtype)
-            qkx = (qkx * s_eff + bx.astype(xi.dtype) @ wq_t
-                   ).reshape(Bn, n, H, C)
+            from ..ops.int8_qlinear import int8_statsq_linear
+
+            qkx = int8_statsq_linear(
+                xi, s_eff, bx, w_qk.reshape(H * C, C).T, self.weight_bits
+            ).reshape(Bn, n, H, C)
         else:
             qkx = jnp.einsum("bnj,hij->bnhi", xq, w_qk)  # (Bn, n, H, C)
         qkx = LearnableBias(H * C, apply_shape=(H, C),
@@ -523,11 +517,11 @@ class SwinBlock(nn.Module):
                        wq_learnable=pol.weight.learnable,
                        quantize_softmax=pol.quantize_softmax,
                        matmul_impl=cfg.matmul_impl,
-                       compute_dtype=cfg.compute_dtype)
+                       compute_dtype=cfg.compute_dtype,
+                       frozen_int_bits=fib)
             if pol.qk_reparam:
                 attn_out, info = QSwinAttentionQKR(
                     name="attn", frozen_wqk=pol.weight_frozen,
-                    frozen_int_bits=fib,
                     **qkw, **common)(h, deterministic=deterministic)
             else:
                 attn_out, info = QSwinAttention(

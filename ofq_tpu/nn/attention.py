@@ -325,26 +325,23 @@ class QAttentionQKR(nn.Module):
         # MXU's int8 path (2x bf16 rate, exact int32 accumulation); the
         # LSQ scale/bias algebra stays outside in fp, so gradients equal
         # the composed path's (see ops/int8_qlinear.py).
-        use_int8 = False
-        if (self.matmul_impl == "int8" and not self.frozen_wqk
-                and not self.qqkkvv
-                and self.input_bits < 32 and self.weight_bits < 32):
-            from ..ops.int8_qlinear import int8_eligible
+        from ..ops.int8_qlinear import int8_eligible
 
-            use_int8 = int8_eligible(self.weight_bits, self.input_bits)
+        use_int8 = (self.matmul_impl == "int8" and not self.frozen_wqk
+                    and not self.qqkkvv
+                    and self.input_bits < 32 and self.weight_bits < 32
+                    and int8_eligible(self.weight_bits, self.input_bits))
         frozen_int = (self.frozen_wqk and self.frozen_int_bits is not None
-                      and 2 <= self.frozen_int_bits <= 4
-                      and self.input_bits < 32 and not self.qqkkvv)
+                      and self.input_bits < 32 and not self.qqkkvv
+                      and int8_eligible(self.frozen_int_bits,
+                                        self.input_bits))
         use_int8 = use_int8 or frozen_int
 
         # One shared input quantization for both the v-linear and the
         # X @ W_qk @ X^T chain (attention.py:124, 177).
         x1 = LearnableBias(C, name="quant_x_move_b4")(x)
         if use_int8:
-            from ..ops.int8_qlinear import int8_statsq_dot
-            from ..quant.lsq import (
-                _broadcast_scale, grad_scale_factor, thresholds)
-            from ..quant.ste import clip_lower, grad_scale, round_pass
+            from ..ops.int8_qlinear import qkr_int8_codes
             from .linear import _BiasParam, _ScaleParam
 
             # exact LsqAct('quant_x')/LearnableBias('quant_x_move_aft')
@@ -353,11 +350,7 @@ class QAttentionQKR(nn.Module):
             s = _ScaleParam(self.input_bits, False, name="quant_x")(x1)
             if not self.aq_learnable:
                 s = jax.lax.stop_gradient(s)
-            gf = grad_scale_factor(x1.shape, self.input_bits, False, -2)
-            s_b = _broadcast_scale(s, x1.shape, -2)
-            s_eff = grad_scale(clip_lower(s_b, 1e-5), gf).astype(x1.dtype)
-            thd_neg, thd_pos = thresholds(self.input_bits, False)
-            xi = round_pass(jnp.clip(x1 / s_eff, thd_neg, thd_pos))
+            xi, s_eff = qkr_int8_codes(x1, s, self.input_bits)
             bx = _BiasParam(C, name="quant_x_move_aft")()
             xq = xi * s_eff + bx.astype(xi.dtype)  # fp view (attn lhs)
         else:
@@ -370,19 +363,18 @@ class QAttentionQKR(nn.Module):
             "v_kernel", nn.initializers.lecun_normal(), (C, C), jnp.float32)
         v_bias = self.param("v_bias", nn.initializers.zeros, (C,), jnp.float32)
         if frozen_int:
-            from ..ops.int8_qlinear import frozen_weight_int, int8_code_dot
+            from ..ops.int8_qlinear import frozen_int8_linear
 
             v_scale = self.param("v_kernel_scale", nn.initializers.ones,
                                  (1, C), jnp.float32)
-            v_int, v_col = frozen_weight_int(
-                v_kernel, v_scale, self.frozen_int_bits)
-            v_out = (int8_code_dot(xi, v_int, v_col).astype(xi.dtype) * s_eff
-                     + bx.astype(xi.dtype) @ v_kernel.astype(xi.dtype)
+            v_out = (frozen_int8_linear(xi, s_eff, bx, v_kernel, v_scale,
+                                        self.frozen_int_bits)
                      + v_bias.astype(xi.dtype))
         elif use_int8:
-            v_out = (int8_statsq_dot(xi, v_kernel, self.weight_bits) * s_eff
-                     + bx.astype(xi.dtype) @ statsq_quantize(
-                         v_kernel, self.weight_bits).astype(xi.dtype)
+            from ..ops.int8_qlinear import int8_statsq_linear
+
+            v_out = (int8_statsq_linear(xi, s_eff, bx, v_kernel,
+                                        self.weight_bits)
                      + v_bias.astype(xi.dtype))
         else:
             vq = (statsq_quantize(v_kernel, self.weight_bits)
@@ -433,27 +425,26 @@ class QAttentionQKR(nn.Module):
         # per-(token,head) scale semantics are identical (same groups,
         # same grad factor B*C, same flat ordering n*H+h).
         if frozen_int:
-            from ..ops.int8_qlinear import frozen_weight_int, int8_code_dot
+            from ..ops.int8_qlinear import frozen_int8_linear
 
             qk_scale = self.param("w_qk_scale", nn.initializers.ones,
                                   (H * C, 1), jnp.float32)
-            wq_flat = w_qk.reshape(H * C, C)
-            qk_int, qk_col = frozen_weight_int(
-                wq_flat, qk_scale, self.frozen_int_bits)
-            qkx = (int8_code_dot(xi, qk_int.T, qk_col).astype(xi.dtype)
-                   * s_eff
-                   + bx.astype(xi.dtype) @ wq_flat.T.astype(xi.dtype)
-                   ).reshape(B, N, H, C)
+            # (in=C, out=H*C) view; the per-row (H*C,) artifact scale
+            # becomes the per-out-column scale of the transposed view
+            qkx = frozen_int8_linear(
+                xi, s_eff, bx, w_qk.reshape(H * C, C).T,
+                qk_scale.reshape(1, -1), self.frozen_int_bits
+            ).reshape(B, N, H, C)
         elif use_int8:
+            from ..ops.int8_qlinear import int8_statsq_linear
+
             # int8 codes shared with the v dot; the (B,N,H*C) -> 4-D split
-            # of trailing dims is layout-free (unlike the N,H merge)
-            w_qk_t = w_qk.reshape(H * C, C).T  # (C, H*C): per-column scale
-            #                                    == the reference's per-row
-            qkx = int8_statsq_dot(xi, w_qk_t, self.weight_bits)
-            wq_t = statsq_quantize(
-                w_qk_t, self.weight_bits, reduce_axis=0).astype(xi.dtype)
-            qkx = (qkx * s_eff + bx.astype(xi.dtype) @ wq_t
-                   ).reshape(B, N, H, C)
+            # of trailing dims is layout-free (unlike the N,H merge);
+            # per-column scale of the (C, H*C) view == the reference's
+            # per-row scale of (H*C, C)
+            qkx = int8_statsq_linear(
+                xi, s_eff, bx, w_qk.reshape(H * C, C).T, self.weight_bits
+            ).reshape(B, N, H, C)
         else:
             qkx = jnp.einsum("bnj,hij->bnhi", xq, w_qk)  # (B, N, H, C)
         qkx = LearnableBias(H * C, apply_shape=(H, C),

@@ -150,8 +150,11 @@ class QLinear(nn.Module):
         kernel = self.param(
             "kernel", self.kernel_init, (in_features, self.features), jnp.float32
         )
+        from ..ops.int8_qlinear import int8_eligible
+
         if (self.frozen_int_bits is not None and self.input_bits < 32
-                and 2 <= self.frozen_int_bits <= 4):
+                and int8_eligible(self.frozen_int_bits, self.input_bits,
+                                  not self.symmetric)):
             from ..ops.int8_qlinear import frozen_int8_forward
 
             b_pre = _BiasParam(in_features, name="move_b4")()
@@ -186,9 +189,10 @@ class QLinear(nn.Module):
                 w_bits=self.weight_bits, a_bits=self.input_bits,
                 all_positive=not self.symmetric)
         if self.matmul_impl == "int8" and self.input_bits < 32:
-            from ..ops.int8_qlinear import int8_eligible, int8_qlinear
+            from ..ops.int8_qlinear import int8_qlinear
 
-            if int8_eligible(self.weight_bits, self.input_bits):
+            if int8_eligible(self.weight_bits, self.input_bits,
+                             not self.symmetric):
                 b_pre = _BiasParam(in_features, name="move_b4")()
                 s = _ScaleParam(self.input_bits, not self.symmetric,
                                 name="input_quant")(x)

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 
 from ..quant.lsq import _broadcast_scale, grad_scale_factor, thresholds
 from ..quant.statsq import _CLIP_HI_EPS, statsq_quantize, statsq_scale
+from ..quant.ste import clip_lower, grad_scale, round_pass
 
 _S_EPS = 1e-5
 
@@ -138,10 +139,15 @@ def _fwd_with_biases(x, kernel, s, b_pre, b_post, w_bits, a_bits,
 int8_qlinear.defvjp(_fwd_with_biases, _int8_qlinear_bwd)
 
 
-def int8_eligible(w_bits: int, a_bits: int) -> bool:
+def int8_eligible(w_bits: int, a_bits: int,
+                  all_positive: bool = False) -> bool:
     """int8 operands: |W_int| = |2k+1| <= 2^w_bits - 1 must fit int8 and
-    activation codes must fit int8."""
-    return 2 <= w_bits <= 4 and a_bits <= 8
+    activation codes must fit int8 — signed codes span
+    [-2^(a-1), 2^(a-1)-1] (fits for a <= 8), but unsigned/asymmetric
+    codes span [0, 2^a - 1], which overflows int8 at a == 8 (e.g. code
+    250 wraps to -6), so those need a <= 7."""
+    act_ok = a_bits <= (7 if all_positive else 8)
+    return 2 <= w_bits <= 4 and act_ok
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -188,6 +194,42 @@ def _int8_statsq_dot_bwd(w_bits, res, g):
 
 
 int8_statsq_dot.defvjp(_int8_statsq_dot_fwd, _int8_statsq_dot_bwd)
+
+
+# --------------------------------------------- shared QKR int8 chain
+# One implementation for both QKR attentions (nn/attention.py
+# QAttentionQKR and models/swin.py QSwinAttentionQKR): the shared input
+# codes and the v/qkx dot-plus-bias-correction algebra must never
+# diverge between the two modules.
+def qkr_int8_codes(x1, s, input_bits):
+    """Integer LSQ codes of the (pre-biased) QKR input and the effective
+    scale.  Exactly reproduces LsqAct(channel_axis=-2, signed)'s
+    forward/backward: per-token grad-scale factor, eps clip with
+    identity gradient, STE round."""
+    gf = grad_scale_factor(x1.shape, input_bits, False, -2)
+    s_b = _broadcast_scale(s, x1.shape, -2)
+    s_eff = grad_scale(clip_lower(s_b, _S_EPS), gf).astype(x1.dtype)
+    thd_neg, thd_pos = thresholds(input_bits, False)
+    xi = round_pass(jnp.clip(x1 / s_eff, thd_neg, thd_pos))
+    return xi, s_eff
+
+
+def int8_statsq_linear(xi, s_eff, bx, kernel, w_bits):
+    """`(xi*s_eff + bx) @ StatsQ(kernel)` via the int8 code dot plus the
+    batch-independent bias correction; kernel is (in, out) with per-out
+    StatsQ scale (reduce_axis=0)."""
+    return (int8_statsq_dot(xi, kernel, w_bits) * s_eff
+            + bx.astype(xi.dtype) @ statsq_quantize(
+                kernel, w_bits, reduce_axis=0).astype(xi.dtype))
+
+
+def frozen_int8_linear(xi, s_eff, bx, w_q, w_scale, bits):
+    """Frozen-serving analog of int8_statsq_linear: `w_q` holds
+    DEQUANTIZED StatsQ values (in, out) whose integer codes are
+    reconstructed from the stored artifact scale (serve --int-core)."""
+    w_int, col = frozen_weight_int(w_q, w_scale, bits)
+    return (int8_code_dot(xi, w_int, col).astype(xi.dtype) * s_eff
+            + bx.astype(xi.dtype) @ w_q.astype(xi.dtype))
 
 
 # ------------------------------------------------------ frozen serving

@@ -160,6 +160,14 @@ def predictor_from_artifact(npz_path: str, args_yaml: str, *,
     for k, v in saved.items():
         if hasattr(args, k):
             setattr(args, k, v)
+    if int_core and not (2 <= args.wq_bitw <= 4 and args.aq_bitw <= 7):
+        # outside these ranges the QLinears would silently fall back to
+        # the fp frozen path (int8_eligible: W_int=2k+1 must fit int8;
+        # the asymmetric fc2 input codes 0..2^a-1 need a <= 7) and any
+        # reported int-core rate would actually be the fp path
+        raise ValueError(
+            f"--int-core supports W2..W4 / A<=7 artifacts, got "
+            f"W{args.wq_bitw}A{args.aq_bitw}; serve without --int-core")
     policy = _dc.replace(policy_from_namespace(args), weight_frozen=True,
                          frozen_int_bits=(args.wq_bitw if int_core else None))
     # build through the runner path so every model-affecting flag of the
@@ -196,6 +204,10 @@ def main(argv=None):
             a.artifact, os.path.join(a.exp_dir, "args.yaml"),
             batch_size=a.batch_size, int_core=a.int_core)
     else:
+        if a.int_core:
+            ap.error("--int-core requires --artifact (the int8 path "
+                     "consumes packed integer codes; a live checkpoint "
+                     "serve would silently use the fp quantizer path)")
         p = Predictor.from_experiment(a.exp_dir, batch_size=a.batch_size)
     x = np.random.default_rng(0).normal(
         size=(a.batch_size, p.img_size, p.img_size, 3)).astype(np.float32)

@@ -189,6 +189,46 @@ class TestExportRestore:
             {"params": jax.tree.map(jnp.asarray, restored)}, x, train=False)
         np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.parametrize("qk_reparam", [False, True])
+    def test_swin_int_core_serving_parity(self, qk_reparam):
+        """serve --int-core on Swin: BOTH attention variants must take the
+        int8 frozen path (the non-QKR QSwinAttention gets frozen_int_bits
+        through its qkv/proj QLinears) and agree with frozen-fp."""
+        from ofq_tpu.models.swin import SwinConfig, SwinTransformer
+        from ofq_tpu.quant import default_swin_qmodules
+
+        cfg = SwinConfig(img_size=32, patch_size=4, embed_dim=64,
+                         depths=(1, 1), num_heads=(2, 4), window_size=4,
+                         num_classes=5, drop_path_rate=0.0)
+        pol = policy_from_args(
+            wq_bitw=2, aq_bitw=2,
+            qmodules=default_swin_qmodules((1, 1)),
+            qk_reparam=qk_reparam, qk_reparam_type=0)
+        model = SwinTransformer(cfg=cfg, policy=pol)
+        x = jnp.asarray(
+            np.random.default_rng(5).normal(size=(2, 32, 32, 3)),
+            jnp.float32)
+        params = model.init({"params": jax.random.key(0)}, x)
+        exported = export_packed(
+            jax.tree.map(np.asarray, params["params"]),
+            weight_bits=2, qk_reparam=qk_reparam, head_dim=32)
+
+        fp = SwinTransformer(
+            cfg=cfg, policy=dataclasses.replace(pol, weight_frozen=True))
+        fp_logits, _ = fp.apply(
+            {"params": jax.tree.map(jnp.asarray, restore_packed(exported))},
+            x, train=False)
+        im = SwinTransformer(
+            cfg=cfg, policy=dataclasses.replace(pol, weight_frozen=True,
+                                                frozen_int_bits=2))
+        restored = restore_packed(exported, int_core=True)
+        int_logits, _ = im.apply(
+            {"params": jax.tree.map(jnp.asarray, restored)}, x, train=False)
+        np.testing.assert_allclose(int_logits, fp_logits,
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_array_equal(np.argmax(int_logits, -1),
+                                      np.argmax(fp_logits, -1))
+
     def test_full_lsq_rejected(self):
         pol = policy_from_args(
             wq_bitw=2, aq_bitw=2, wq_mode="lsq", aq_mode="lsq",

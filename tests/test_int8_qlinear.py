@@ -73,6 +73,19 @@ def test_w8_falls_back_to_xla():
     np.testing.assert_array_equal(i8.apply(params, x), ref.apply(params, x))
 
 
+def test_asymmetric_a8_falls_back_to_xla():
+    # unsigned/asymmetric 8-bit activation codes span 0..255 and overflow
+    # the int8 cast (250 wraps to -6): int8_eligible must reject
+    # (all_positive, a_bits=8) so the module takes the composed path
+    rng = np.random.default_rng(4)
+    # large positive inputs drive codes above 127 under asymmetric LSQ
+    x = jnp.asarray(np.abs(rng.normal(size=(2, 5, 8))) * 4.0, jnp.float32)
+    ref = _build(None, 2, 8, symmetric=False)
+    i8 = _build("int8", 2, 8, symmetric=False)
+    params = ref.init({"params": jax.random.key(0)}, x)
+    np.testing.assert_array_equal(i8.apply(params, x), ref.apply(params, x))
+
+
 def test_qkr_attention_int8_matches_composed():
     """QAttentionQKR with matmul_impl='int8': shared-X_int v/qkx dots must
     reproduce the composed path's forward and gradients (same param
