@@ -16,6 +16,9 @@ Variants:
   cga_bf16    — the CGA finetune step (freeze masks + restore in-graph)
   bf16m_bf16  — bf16 stream + bf16 master weights (BASELINE config 5)
   swin_bf16   — Swin-T W2A2 QKR step (BASELINE config 4)
+  swin_<sub>  — any variant above on the Swin-T workload (e.g. swin_fp,
+                swin_noqkr, swin_noteacher, swin_fwd) for the Swin
+                step anatomy
 
 Usage:  python benchmarks/step_anatomy.py [--variants full,bf16,...]
                                           [--batch 128] [--iters 10]
@@ -42,36 +45,32 @@ ROUNDS = 3
 
 
 def build(variant: str, batch: int, dtype: str = None, attn_impl=None):
-    from ofq_tpu.models import deit_model
-    from ofq_tpu.quant import default_deit_qmodules, policy_from_args
+    from ofq_tpu.models import create_model
+    from ofq_tpu.quant import (default_deit_qmodules, default_swin_qmodules,
+                               policy_from_args)
     from ofq_tpu.train import TrainState, make_optimizer, make_train_step
     from ofq_tpu.train.schedule import cosine_with_warmup_cooldown
 
-    quantized = variant != "fp"
+    # "swin_<sub>" runs the same anatomy sub-variant on the Swin-T W2A2
+    # workload (BASELINE config 4); bare "swin_bf16" keeps its old meaning
+    is_swin = variant.startswith("swin")
+    sub = variant[5:] if variant.startswith("swin_") else variant
+    quantized = sub != "fp"
     compute_dtype = dtype if dtype else ("bf16" in variant and "bfloat16" or None)
-    if variant.startswith("swin"):
-        # Swin-T W2A2 QKR step (BASELINE config 4 workload)
-        from ofq_tpu.models import create_model
-        from ofq_tpu.quant import default_swin_qmodules
-
+    model_name = "swin_t" if is_swin else "deit_small_distilled_patch16_224"
+    if quantized:
+        qmods = (default_swin_qmodules() if is_swin
+                 else default_deit_qmodules(12))
         policy = policy_from_args(
-            wq_bitw=2, aq_bitw=2, qmodules=default_swin_qmodules(),
-            qk_reparam=True, qk_reparam_type=0)
-        student = create_model("swin_t", policy=policy,
-                               compute_dtype=compute_dtype)
-        teacher = create_model("swin_t", compute_dtype=compute_dtype)
+            wq_bitw=2, aq_bitw=2, qmodules=qmods,
+            qk_reparam=(sub != "noqkr"), qk_reparam_type=0)
     else:
-        if quantized:
-            policy = policy_from_args(
-                wq_bitw=2, aq_bitw=2, qmodules=default_deit_qmodules(12),
-                qk_reparam=(variant != "noqkr"), qk_reparam_type=0)
-        else:
-            from ofq_tpu.quant import QuantPolicy
-            policy = QuantPolicy()
-        student = deit_model("deit_small_distilled_patch16_224", policy=policy,
-                             compute_dtype=compute_dtype, attn_impl=attn_impl)
-        teacher = deit_model("deit_small_distilled_patch16_224",
-                             compute_dtype=compute_dtype)
+        from ofq_tpu.quant import QuantPolicy
+        policy = QuantPolicy()
+    extra = {} if is_swin else {"attn_impl": attn_impl}  # DeiT-only knob
+    student = create_model(model_name, policy=policy,
+                           compute_dtype=compute_dtype, **extra)
+    teacher = create_model(model_name, compute_dtype=compute_dtype)
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(batch, 224, 224, 3)), jnp.float32)
@@ -93,22 +92,22 @@ def build(variant: str, batch: int, dtype: str = None, attn_impl=None):
     tx = make_optimizer(lr_fn, weight_decay=0.05)
     state = jax.jit(lambda p: TrainState.create(p, tx))(sparams)
 
-    loss_kind = "ce" if variant == "noteacher" else "kd_soft_hard"
+    loss_kind = "ce" if sub == "noteacher" else "kd_soft_hard"
     master_dtype = "bfloat16" if "bf16m" in variant else None
     cga = None
     if "cga" in variant:
         # the CGA finetune phase: in-graph freeze masks + post-step restore
         cga = dict(bits=2, boundary_range=0.005, qk_reparam=True,
-                   model_type="deit")
+                   model_type="swin" if is_swin else "deit")
     if master_dtype == "bfloat16":
         state = jax.jit(lambda s: s.replace(params={
             **s.params, "params": jax.tree.map(
                 lambda p: p.astype(jnp.bfloat16), s.params["params"])}))(state)
     step_fn = make_train_step(
-        student, tx, teacher=None if variant == "noteacher" else teacher,
+        student, tx, teacher=None if sub == "noteacher" else teacher,
         loss_kind=loss_kind, cga=cga, master_dtype=master_dtype)
 
-    if variant == "fwd":
+    if sub == "fwd":
         def fwd_only(state, batch, rng, tparams):
             out, _ = student.apply(
                 state.params, batch["image"], train=True,
