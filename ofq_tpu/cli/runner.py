@@ -288,19 +288,27 @@ class Runner:
         before saving: a crash between a delete and the async save
         completing must never leave zero recovery snapshots (preemption is
         exactly when that window matters).  max_to_keep=2 lets orbax keep
-        one committed snapshot while the new one is in flight; on a stale
-        same-step-id collision (prior run wrote this id) the save is
-        skipped — the existing snapshot already represents this optimizer
-        step and is at worst an equivalent-progress lineage."""
+        one committed snapshot while the new one is in flight.  A
+        same-step-id collision means a PRIOR run's lineage wrote this id
+        (this process saves strictly increasing ids, tracked in
+        _recovery_saved); keeping the stale snapshot would let auto-resume
+        restore a different trajectory's state as if it were ours, so it
+        is deleted and re-saved from the live state — the only case where
+        a delete precedes the save, and it targets only snapshots proven
+        not to be this run's."""
         if not hasattr(self, "_recovery_mgr"):
             self._recovery_mgr = make_manager(
                 os.path.join(self.out_dir, "recovery"), max_to_keep=2)
+            self._recovery_saved = set()
+        if total_steps in self._recovery_saved:
+            return False  # this run already snapshotted this exact step
         if total_steps in self._recovery_mgr.all_steps():
-            _logger.info(
-                "recovery snapshot for step %d already exists; keeping it",
-                total_steps)
-            return False
+            _logger.warning(
+                "recovery snapshot for step %d exists from a prior run; "
+                "replacing it with the live state", total_steps)
+            self._recovery_mgr.delete(total_steps)
         save_epoch(self._recovery_mgr, total_steps, state)
+        self._recovery_saved.add(total_steps)
         return True
 
     def _install_preemption_handler(self):

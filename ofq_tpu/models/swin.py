@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..nn.attention import Attention  # noqa: F401 (float path below is custom)
+from ..nn.attention import qkr_quant_chain
 from ..nn.bias import LearnableBias
 from ..nn.conv import QPatchEmbedConv
 from ..nn.linear import Mlp, QHeadLinear, QLinear, QMlp
@@ -309,113 +310,10 @@ class QSwinAttentionQKR(WindowAttentionBase):
         H = self.num_heads
         d = C // H
 
-        # integer-core fast path: shared int8 input codes for the v dot
-        # and the qkx einsum (see QAttentionQKR / ops/int8_qlinear.py)
-        from ..ops.int8_qlinear import int8_eligible
-
-        use_int8 = (self.matmul_impl == "int8" and not self.frozen_wqk
-                    and self.input_bits < 32 and self.weight_bits < 32
-                    and int8_eligible(self.weight_bits, self.input_bits))
-        frozen_int = (self.frozen_wqk and self.frozen_int_bits is not None
-                      and self.input_bits < 32
-                      and int8_eligible(self.frozen_int_bits,
-                                        self.input_bits))
-        use_int8 = use_int8 or frozen_int
-
-        x1 = LearnableBias(C, name="quant_x_move_b4")(tokens)
-        if use_int8:
-            from ..nn.linear import _BiasParam, _ScaleParam
-            from ..ops.int8_qlinear import qkr_int8_codes
-
-            s = _ScaleParam(self.input_bits, False, name="quant_x")(x1)
-            if not self.aq_learnable:
-                s = jax.lax.stop_gradient(s)
-            xi, s_eff = qkr_int8_codes(x1, s, self.input_bits)
-            bx = _BiasParam(C, name="quant_x_move_aft")()
-            xq = xi * s_eff + bx.astype(xi.dtype)
-        else:
-            xq = LsqAct(self.input_bits, channel_axis=-2,
-                        learnable=self.aq_learnable, name="quant_x")(x1)
-            xq = LearnableBias(C, name="quant_x_move_aft")(xq)
-
-        v_kernel = self.param(
-            "v_kernel", nn.initializers.lecun_normal(), (C, C), jnp.float32)
-        v_bias = self.param("v_bias", nn.initializers.zeros, (C,), jnp.float32)
-        if frozen_int:
-            from ..ops.int8_qlinear import frozen_int8_linear
-
-            v_scale = self.param("v_kernel_scale", nn.initializers.ones,
-                                 (1, C), jnp.float32)
-            v_out = (frozen_int8_linear(xi, s_eff, bx, v_kernel, v_scale,
-                                        self.frozen_int_bits)
-                     + v_bias.astype(xi.dtype))
-        elif use_int8:
-            from ..ops.int8_qlinear import int8_statsq_linear
-
-            v_out = (int8_statsq_linear(xi, s_eff, bx, v_kernel,
-                                        self.weight_bits)
-                     + v_bias.astype(xi.dtype))
-        else:
-            vq = (statsq_quantize(v_kernel, self.weight_bits)
-                  if self.weight_bits < 32 else v_kernel)
-            if self.compute_dtype is not None:
-                vq = vq.astype(self.compute_dtype)
-            v_out = xq @ vq + v_bias.astype(xq.dtype)
-        v_out = LearnableBias(C, name="move_v_b4")(v_out)
-        v_out = LsqAct(self.input_bits, channel_axis=-1,
-                       learnable=self.aq_learnable, name="quan_v")(v_out)
-        v_out = LearnableBias(C, name="move_v_aft")(v_out)
-        v = v_out.reshape(Bn, n, H, d)  # natural layout, no transpose
-
-        if self.frozen_wqk:
-            w_qk = self.param(
-                "w_qk_frozen", nn.initializers.zeros, (H, C, C), jnp.float32)
-        else:
-            q_kernel = self.param(
-                "q_kernel", nn.initializers.lecun_normal(), (C, C),
-                jnp.float32)
-            k_kernel = self.param(
-                "k_kernel", nn.initializers.lecun_normal(), (C, C),
-                jnp.float32)
-            w_qk = jnp.einsum(
-                "ihd,jhd->hij",
-                q_kernel.reshape(C, H, d), k_kernel.reshape(C, H, d))
-            w_qk = w_qk.reshape(H * C, C)
-            if not use_int8:
-                w_qk = statsq_quantize(
-                    w_qk, self.weight_bits, reduce_axis=-1)
-            w_qk = w_qk.reshape(H, C, C)
-        if self.compute_dtype is not None and not use_int8:
-            w_qk = w_qk.astype(self.compute_dtype)
-
-        # the 4-D (Bn, n, H, C) bias/LSQ chain with multi-axis params —
-        # zero reshapes (see QAttentionQKR: each (Bn, n, H*C)/(Bn, n*H, C)
-        # flattening materializes a layout copy); params stay flat
-        if frozen_int:
-            from ..ops.int8_qlinear import frozen_int8_linear
-
-            qk_scale = self.param("w_qk_scale", nn.initializers.ones,
-                                  (H * C, 1), jnp.float32)
-            # (in=C, out=H*C) view; per-row artifact scale becomes the
-            # per-out-column scale of the transposed view
-            qkx = frozen_int8_linear(
-                xi, s_eff, bx, w_qk.reshape(H * C, C).T,
-                qk_scale.reshape(1, -1), self.frozen_int_bits
-            ).reshape(Bn, n, H, C)
-        elif use_int8:
-            from ..ops.int8_qlinear import int8_statsq_linear
-
-            qkx = int8_statsq_linear(
-                xi, s_eff, bx, w_qk.reshape(H * C, C).T, self.weight_bits
-            ).reshape(Bn, n, H, C)
-        else:
-            qkx = jnp.einsum("bnj,hij->bnhi", xq, w_qk)  # (Bn, n, H, C)
-        qkx = LearnableBias(H * C, apply_shape=(H, C),
-                            name="move_qkx_b4")(qkx)
-        qkx = LsqAct(self.input_bits, channel_axis=(1, 2),
-                     learnable=self.aq_learnable, name="quan_qkx")(qkx)
-        qkx = LearnableBias(H * C, apply_shape=(H, C),
-                            name="move_qkx_aft")(qkx)
+        # shared QKR scaffold — one definition with QAttentionQKR
+        # (ofq_tpu/nn/attention.py qkr_quant_chain): input codes, v
+        # path, W_qk product, 4-D qkx chain; composed / int8 / frozen
+        xq, v, qkx, _, _ = qkr_quant_chain(self, tokens)
 
         attn = jnp.einsum("bnc,bmhc->bhnm", xq, qkx) * (d ** -0.5)
         attn = attn + self.rel_pos_bias().astype(attn.dtype)

@@ -35,6 +35,167 @@ from .linear import LsqLinear, QLinear
 from .quantizers import LsqAct
 
 
+def qkr_int8_flags(mod) -> tuple:
+    """(use_int8, frozen_int) eligibility for a QKR attention module —
+    ONE definition for QAttentionQKR and QSwinAttentionQKR so the guard
+    expressions can never diverge (mod needs matmul_impl, frozen_wqk,
+    frozen_int_bits, input_bits, weight_bits; qqkkvv where it exists
+    excludes the int path — Gram telemetry keeps the composed chain)."""
+    from ..ops.int8_qlinear import int8_eligible
+
+    qqkkvv = getattr(mod, "qqkkvv", False)
+    use_int8 = (mod.matmul_impl == "int8" and not mod.frozen_wqk
+                and not qqkkvv
+                and mod.input_bits < 32 and mod.weight_bits < 32
+                and int8_eligible(mod.weight_bits, mod.input_bits))
+    frozen_int = (mod.frozen_wqk and mod.frozen_int_bits is not None
+                  and mod.input_bits < 32 and not qqkkvv
+                  and int8_eligible(mod.frozen_int_bits, mod.input_bits))
+    return use_int8 or frozen_int, frozen_int
+
+
+def qkr_quant_chain(mod, x):
+    """Shared QKR forward scaffold (reference attention.py:174-210) for
+    both QKR attentions — input quantization shared by the v and qkx
+    dots, the v path, the per-head W_qk product, and the 4-D qkx
+    bias/LSQ chain; three implementations each (composed fp, --matmul-impl
+    int8, frozen int for serve --int-core).
+
+    Must be called inside `mod`'s @nn.compact __call__ — every param and
+    submodule declared here binds to `mod`'s tree with the exact names of
+    the previous per-module implementations (checkpoint-compatible).
+
+    Returns (xq, v, qkx, q_kernel, k_kernel):
+      xq  (B, N, C)    fp view of the quantized shared input (attn lhs)
+      v   (B, N, H, d) quantized value path in natural layout
+      qkx (B, N, H, C) the quantized X @ W_qk chain output
+      q_kernel/k_kernel — the unreparameterized projections (None when
+      frozen_wqk: artifacts carry only the product)."""
+    B, N, C = x.shape
+    H = mod.num_heads
+    d = C // H
+    use_int8, frozen_int = qkr_int8_flags(mod)
+
+    # One shared input quantization for both the v-linear and the
+    # X @ W_qk @ X^T chain (attention.py:124, 177).
+    x1 = LearnableBias(C, name="quant_x_move_b4")(x)
+    if use_int8:
+        from ..ops.int8_qlinear import qkr_int8_codes
+        from .linear import _BiasParam, _ScaleParam
+
+        # exact LsqAct('quant_x')/LearnableBias('quant_x_move_aft')
+        # param tree; the scale pre-processing (eps clip w/ identity
+        # grad, grad-scale factor, learnable gate) mirrors lsq.py
+        s = _ScaleParam(mod.input_bits, False, name="quant_x")(x1)
+        if not mod.aq_learnable:
+            s = jax.lax.stop_gradient(s)
+        xi, s_eff = qkr_int8_codes(x1, s, mod.input_bits)
+        bx = _BiasParam(C, name="quant_x_move_aft")()
+        xq = xi * s_eff + bx.astype(xi.dtype)  # fp view (attn lhs)
+    else:
+        xq = LsqAct(mod.input_bits, channel_axis=-2,
+                    learnable=mod.aq_learnable, name="quant_x")(x1)
+        xq = LearnableBias(C, name="quant_x_move_aft")(xq)
+
+    # V path: StatsQ(v kernel) @ xq + bias (attention.py:179-181).
+    v_kernel = mod.param(
+        "v_kernel", nn.initializers.lecun_normal(), (C, C), jnp.float32)
+    v_bias = mod.param("v_bias", nn.initializers.zeros, (C,), jnp.float32)
+    if frozen_int:
+        from ..ops.int8_qlinear import frozen_int8_linear
+
+        v_scale = mod.param("v_kernel_scale", nn.initializers.ones,
+                            (1, C), jnp.float32)
+        v_out = (frozen_int8_linear(xi, s_eff, bx, v_kernel, v_scale,
+                                    mod.frozen_int_bits)
+                 + v_bias.astype(xi.dtype))
+    elif use_int8:
+        from ..ops.int8_qlinear import int8_statsq_linear
+
+        v_out = (int8_statsq_linear(xi, s_eff, bx, v_kernel,
+                                    mod.weight_bits)
+                 + v_bias.astype(xi.dtype))
+    else:
+        vq = (statsq_quantize(v_kernel, mod.weight_bits)
+              if mod.weight_bits < 32 else v_kernel)
+        if mod.compute_dtype is not None:
+            vq = vq.astype(mod.compute_dtype)
+        v_out = xq @ vq + v_bias.astype(xq.dtype)
+    v_out = LearnableBias(C, name="move_v_b4")(v_out)
+    v_out = LsqAct(mod.input_bits, channel_axis=-1,
+                   learnable=mod.aq_learnable, name="quan_v")(v_out)
+    v_out = LearnableBias(C, name="move_v_aft")(v_out)
+    v = v_out.reshape(B, N, H, d)  # natural layout, no transpose
+
+    q_kernel = k_kernel = None
+    if mod.frozen_wqk:
+        # deployment artifact: dequantized StatsQ values stored directly
+        w_qk = mod.param(
+            "w_qk_frozen", nn.initializers.zeros, (H, C, C), jnp.float32)
+    else:
+        # Per-head W_qk = Wq^T @ Wk, StatsQ'd as one (H*C, C) matrix
+        # (attention.py:190-196).  Flax kernels are (in=C, out=C); the
+        # torch (out, in) row i of head h maps to our in-axis index i.
+        q_kernel = mod.param(
+            "q_kernel", nn.initializers.lecun_normal(), (C, C),
+            jnp.float32)
+        k_kernel = mod.param(
+            "k_kernel", nn.initializers.lecun_normal(), (C, C),
+            jnp.float32)
+        qh = q_kernel.reshape(C, H, d)
+        kh = k_kernel.reshape(C, H, d)
+        w_qk = jnp.einsum("ihd,jhd->hij", qh, kh)  # (H, C, C)
+        w_qk = w_qk.reshape(H * C, C)
+        if not use_int8:
+            w_qk = statsq_quantize(
+                w_qk, mod.weight_bits, reduce_axis=-1)
+        w_qk = w_qk.reshape(H, C, C)
+    if mod.compute_dtype is not None and not use_int8:
+        w_qk = w_qk.astype(mod.compute_dtype)
+
+    # qkx[b,n,h,i] = sum_j x[b,n,j] W_qk[h,i,j]   (attention.py:200).
+    # Layout: the ENTIRE bias/LSQ chain runs on the 4-D (B, N, H, C)
+    # einsum output with multi-axis params — zero reshapes.  XLA lays
+    # this tensor out (B, H, N, C)-physical for the dots; any
+    # (B, N, H*C)/(B, N*H, C) flattening is layout-incompatible and
+    # materializes a ~117 MB copy, measured at 21.5 ms/step across
+    # fwd+bwd in round 3 (docs/DESIGN.md §5d).  Param shapes are
+    # unchanged (flat (H*C,) biases, flat (N*H,) scale), so
+    # checkpoints and the torch converter are unaffected; the
+    # per-(token,head) scale semantics are identical (same groups,
+    # same grad factor B*C, same flat ordering n*H+h).
+    if frozen_int:
+        from ..ops.int8_qlinear import frozen_int8_linear
+
+        qk_scale = mod.param("w_qk_scale", nn.initializers.ones,
+                             (H * C, 1), jnp.float32)
+        # (in=C, out=H*C) view; the per-row (H*C,) artifact scale
+        # becomes the per-out-column scale of the transposed view
+        qkx = frozen_int8_linear(
+            xi, s_eff, bx, w_qk.reshape(H * C, C).T,
+            qk_scale.reshape(1, -1), mod.frozen_int_bits
+        ).reshape(B, N, H, C)
+    elif use_int8:
+        from ..ops.int8_qlinear import int8_statsq_linear
+
+        # int8 codes shared with the v dot; the (B,N,H*C) -> 4-D split
+        # of trailing dims is layout-free (unlike the N,H merge);
+        # per-column scale of the (C, H*C) view == the reference's
+        # per-row scale of (H*C, C)
+        qkx = int8_statsq_linear(
+            xi, s_eff, bx, w_qk.reshape(H * C, C).T, mod.weight_bits
+        ).reshape(B, N, H, C)
+    else:
+        qkx = jnp.einsum("bnj,hij->bnhi", xq, w_qk)  # (B, N, H, C)
+    qkx = LearnableBias(H * C, apply_shape=(H, C),
+                        name="move_qkx_b4")(qkx)
+    qkx = LsqAct(mod.input_bits, channel_axis=(1, 2),
+                 learnable=mod.aq_learnable, name="quan_qkx")(qkx)
+    qkx = LearnableBias(H * C, apply_shape=(H, C),
+                        name="move_qkx_aft")(qkx)
+    return xq, v, qkx, q_kernel, k_kernel
+
+
 class _SoftmaxScaleParam(nn.Module):
     """Param container matching LsqAct's tree path ('quan_softmax/s').
 
@@ -320,139 +481,10 @@ class QAttentionQKR(nn.Module):
         d = C // H
         scale = d ** -0.5
 
-        # integer-core fast path (--matmul-impl int8): the v dot and the
-        # qkx einsum share ONE set of int8 input codes and run on the
-        # MXU's int8 path (2x bf16 rate, exact int32 accumulation); the
-        # LSQ scale/bias algebra stays outside in fp, so gradients equal
-        # the composed path's (see ops/int8_qlinear.py).
-        from ..ops.int8_qlinear import int8_eligible
-
-        use_int8 = (self.matmul_impl == "int8" and not self.frozen_wqk
-                    and not self.qqkkvv
-                    and self.input_bits < 32 and self.weight_bits < 32
-                    and int8_eligible(self.weight_bits, self.input_bits))
-        frozen_int = (self.frozen_wqk and self.frozen_int_bits is not None
-                      and self.input_bits < 32 and not self.qqkkvv
-                      and int8_eligible(self.frozen_int_bits,
-                                        self.input_bits))
-        use_int8 = use_int8 or frozen_int
-
-        # One shared input quantization for both the v-linear and the
-        # X @ W_qk @ X^T chain (attention.py:124, 177).
-        x1 = LearnableBias(C, name="quant_x_move_b4")(x)
-        if use_int8:
-            from ..ops.int8_qlinear import qkr_int8_codes
-            from .linear import _BiasParam, _ScaleParam
-
-            # exact LsqAct('quant_x')/LearnableBias('quant_x_move_aft')
-            # param tree; the scale pre-processing (eps clip w/ identity
-            # grad, grad-scale factor, learnable gate) mirrors lsq.py
-            s = _ScaleParam(self.input_bits, False, name="quant_x")(x1)
-            if not self.aq_learnable:
-                s = jax.lax.stop_gradient(s)
-            xi, s_eff = qkr_int8_codes(x1, s, self.input_bits)
-            bx = _BiasParam(C, name="quant_x_move_aft")()
-            xq = xi * s_eff + bx.astype(xi.dtype)  # fp view (attn lhs)
-        else:
-            xq = LsqAct(self.input_bits, channel_axis=-2,
-                        learnable=self.aq_learnable, name="quant_x")(x1)
-            xq = LearnableBias(C, name="quant_x_move_aft")(xq)
-
-        # V path: StatsQ(v kernel) @ xq + bias (attention.py:179-181).
-        v_kernel = self.param(
-            "v_kernel", nn.initializers.lecun_normal(), (C, C), jnp.float32)
-        v_bias = self.param("v_bias", nn.initializers.zeros, (C,), jnp.float32)
-        if frozen_int:
-            from ..ops.int8_qlinear import frozen_int8_linear
-
-            v_scale = self.param("v_kernel_scale", nn.initializers.ones,
-                                 (1, C), jnp.float32)
-            v_out = (frozen_int8_linear(xi, s_eff, bx, v_kernel, v_scale,
-                                        self.frozen_int_bits)
-                     + v_bias.astype(xi.dtype))
-        elif use_int8:
-            from ..ops.int8_qlinear import int8_statsq_linear
-
-            v_out = (int8_statsq_linear(xi, s_eff, bx, v_kernel,
-                                        self.weight_bits)
-                     + v_bias.astype(xi.dtype))
-        else:
-            vq = (statsq_quantize(v_kernel, self.weight_bits)
-                  if self.weight_bits < 32 else v_kernel)
-            if self.compute_dtype is not None:
-                vq = vq.astype(self.compute_dtype)
-            v_out = xq @ vq + v_bias.astype(xq.dtype)
-        v_out = LearnableBias(C, name="move_v_b4")(v_out)
-        v_out = LsqAct(self.input_bits, channel_axis=-1,
-                       learnable=self.aq_learnable, name="quan_v")(v_out)
-        v_out = LearnableBias(C, name="move_v_aft")(v_out)
-        v = v_out.reshape(B, N, H, d)  # natural layout, no transpose
-
-        if self.frozen_wqk:
-            # deployment artifact: dequantized StatsQ values stored directly
-            w_qk = self.param(
-                "w_qk_frozen", nn.initializers.zeros, (H, C, C), jnp.float32)
-        else:
-            # Per-head W_qk = Wq^T @ Wk, StatsQ'd as one (H*C, C) matrix
-            # (attention.py:190-196).  Flax kernels are (in=C, out=C); the
-            # torch (out, in) row i of head h maps to our in-axis index i.
-            q_kernel = self.param(
-                "q_kernel", nn.initializers.lecun_normal(), (C, C),
-                jnp.float32)
-            k_kernel = self.param(
-                "k_kernel", nn.initializers.lecun_normal(), (C, C),
-                jnp.float32)
-            qh = q_kernel.reshape(C, H, d)
-            kh = k_kernel.reshape(C, H, d)
-            w_qk = jnp.einsum("ihd,jhd->hij", qh, kh)  # (H, C, C)
-            w_qk = w_qk.reshape(H * C, C)
-            if not use_int8:
-                w_qk = statsq_quantize(
-                    w_qk, self.weight_bits, reduce_axis=-1)
-            w_qk = w_qk.reshape(H, C, C)
-        if self.compute_dtype is not None and not use_int8:
-            w_qk = w_qk.astype(self.compute_dtype)
-
-        # qkx[b,n,h,i] = sum_j x[b,n,j] W_qk[h,i,j]   (attention.py:200).
-        # Layout: the ENTIRE bias/LSQ chain runs on the 4-D (B, N, H, C)
-        # einsum output with multi-axis params — zero reshapes.  XLA lays
-        # this tensor out (B, H, N, C)-physical for the dots; any
-        # (B, N, H*C)/(B, N*H, C) flattening is layout-incompatible and
-        # materializes a ~117 MB copy, measured at 21.5 ms/step across
-        # fwd+bwd in round 3 (docs/DESIGN.md §5d).  Param shapes are
-        # unchanged (flat (H*C,) biases, flat (N*H,) scale), so
-        # checkpoints and the torch converter are unaffected; the
-        # per-(token,head) scale semantics are identical (same groups,
-        # same grad factor B*C, same flat ordering n*H+h).
-        if frozen_int:
-            from ..ops.int8_qlinear import frozen_int8_linear
-
-            qk_scale = self.param("w_qk_scale", nn.initializers.ones,
-                                  (H * C, 1), jnp.float32)
-            # (in=C, out=H*C) view; the per-row (H*C,) artifact scale
-            # becomes the per-out-column scale of the transposed view
-            qkx = frozen_int8_linear(
-                xi, s_eff, bx, w_qk.reshape(H * C, C).T,
-                qk_scale.reshape(1, -1), self.frozen_int_bits
-            ).reshape(B, N, H, C)
-        elif use_int8:
-            from ..ops.int8_qlinear import int8_statsq_linear
-
-            # int8 codes shared with the v dot; the (B,N,H*C) -> 4-D split
-            # of trailing dims is layout-free (unlike the N,H merge);
-            # per-column scale of the (C, H*C) view == the reference's
-            # per-row scale of (H*C, C)
-            qkx = int8_statsq_linear(
-                xi, s_eff, bx, w_qk.reshape(H * C, C).T, self.weight_bits
-            ).reshape(B, N, H, C)
-        else:
-            qkx = jnp.einsum("bnj,hij->bnhi", xq, w_qk)  # (B, N, H, C)
-        qkx = LearnableBias(H * C, apply_shape=(H, C),
-                            name="move_qkx_b4")(qkx)
-        qkx = LsqAct(self.input_bits, channel_axis=(1, 2),
-                     learnable=self.aq_learnable, name="quan_qkx")(qkx)
-        qkx = LearnableBias(H * C, apply_shape=(H, C),
-                            name="move_qkx_aft")(qkx)
+        # shared QKR scaffold (input codes, v path, W_qk product, 4-D
+        # qkx chain; composed / --matmul-impl int8 / frozen-int
+        # implementations) — one definition with QSwinAttentionQKR
+        xq, v, qkx, q_kernel, k_kernel = qkr_quant_chain(self, x)
 
         # Fused Pallas fast path: scores -> softmax -> LSQ -> @v per
         # (batch, head) cell in VMEM, flash-style recompute backward —

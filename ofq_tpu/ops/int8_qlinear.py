@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from ..quant.lsq import _broadcast_scale, grad_scale_factor, thresholds
-from ..quant.statsq import _CLIP_HI_EPS, statsq_quantize, statsq_scale
+from ..quant.statsq import _CLIP_HI_EPS, statsq_scale
 from ..quant.ste import clip_lower, grad_scale, round_pass
 
 _S_EPS = 1e-5
@@ -75,9 +75,9 @@ def _fwd(x, kernel, s, b_pre, b_post, w_bits, a_bits, all_positive):
         (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
     col = (s_w / (2.0 * n)).astype(jnp.float32)
-    # b_post @ w_q: batch-independent (out,) correction
-    w_q = w_int * (s_w / (2.0 * n))
-    bq = b_post.astype(jnp.float32) @ w_q
+    # b_post @ w_q == (b_post @ W_int) * col: the batch-independent (out,)
+    # correction without materializing the dequantized kernel
+    bq = (b_post.astype(jnp.float32) @ w_int) * col
     y = (acc.astype(jnp.float32)
          * s_eff.astype(jnp.float32) * col + bq).astype(x.dtype)
     return y, (x, kernel, s)
@@ -106,13 +106,16 @@ def _int8_qlinear_bwd(w_bits, a_bits, all_positive, res, g):
     x2 = xq + b_post.astype(x.dtype)
 
     w_int, s_w = _weight_int(kernel.astype(jnp.float32), w_bits)
-    w_q = (w_int * (s_w / (2.0 * n))).astype(x.dtype)
+    col = (s_w / (2.0 * n)).astype(jnp.float32)
 
     # dot cotangents — operands stay in the stream dtype (bf16 under the
     # speed path) with fp32 accumulation, exactly like the composed path's
-    # backward dots; an fp32-operand dW dot would run the MXU at 1/4 rate
+    # backward dots; an fp32-operand dW dot would run the MXU at 1/4 rate.
+    # g @ w_q^T == (g*col) @ W_int^T: scale the (..., out) cotangent
+    # instead of materializing the dequantized (in, out) kernel
+    gcol = (g.astype(jnp.float32) * col).astype(g.dtype)
     dx2 = jax.lax.dot_general(
-        g, w_q, (((g.ndim - 1,), (1,)), ((), ())),
+        gcol, w_int.astype(g.dtype), (((g.ndim - 1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32).astype(g.dtype)
     lead = tuple(range(g.ndim - 1))
     dkernel = jnp.einsum("...i,...o->io", x2, g,
@@ -150,52 +153,6 @@ def int8_eligible(w_bits: int, a_bits: int,
     return 2 <= w_bits <= 4 and act_ok
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def int8_statsq_dot(xi, kernel, w_bits):
-    """`xi @ statsq_quantize(kernel)` where `xi` is already INTEGER-valued
-    (LSQ codes from an upstream round_pass chain): the dot runs int8 x
-    int8 -> int32 on the MXU, the dequant column scale is applied after.
-
-    Compositional building block for the QKR attention's shared-input
-    dots (v path and the qkx einsum both consume the same X_int): the
-    caller keeps the LSQ scale/bias algebra outside, so autodiff
-    reproduces the composed path's gradients; this op's custom VJP only
-    supplies the dot cotangents (dxi = g @ w_q^T, dkernel = xi^T @ g —
-    the StatsQ STE) and stores `xi` as int8, HALVING that residual's HBM
-    bytes vs the bf16 composed path."""
-    n = float(2 ** (w_bits - 1))
-    w_int, s_w = _weight_int(kernel.astype(jnp.float32), w_bits)
-    acc = jax.lax.dot_general(
-        xi.astype(jnp.int8), w_int.astype(jnp.int8),
-        (((xi.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)
-    col = (s_w / (2.0 * n)).astype(jnp.float32)
-    return (acc.astype(jnp.float32) * col).astype(xi.dtype)
-
-
-def _int8_statsq_dot_fwd(xi, kernel, w_bits):
-    y = int8_statsq_dot(xi, kernel, w_bits)
-    return y, (xi.astype(jnp.int8), kernel)
-
-
-def _int8_statsq_dot_bwd(w_bits, res, g):
-    # the op's output dtype == xi's dtype, so g.dtype is xi's dtype
-    xi8, kernel = res
-    w_q = statsq_quantize(
-        kernel.astype(jnp.float32), w_bits, reduce_axis=0).astype(g.dtype)
-    dxi = jax.lax.dot_general(
-        g, w_q, (((g.ndim - 1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(g.dtype)
-    # dW in the stream dtype with fp32 accumulation (integer codes are
-    # exact in bf16); fp32 operands would quarter the MXU rate
-    dkernel = jnp.einsum("...i,...o->io", xi8.astype(g.dtype), g,
-                         preferred_element_type=jnp.float32)
-    return dxi, dkernel.astype(kernel.dtype)
-
-
-int8_statsq_dot.defvjp(_int8_statsq_dot_fwd, _int8_statsq_dot_bwd)
-
-
 # --------------------------------------------- shared QKR int8 chain
 # One implementation for both QKR attentions (nn/attention.py
 # QAttentionQKR and models/swin.py QSwinAttentionQKR): the shared input
@@ -214,13 +171,76 @@ def qkr_int8_codes(x1, s, input_bits):
     return xi, s_eff
 
 
+def _unbroadcast(t: jax.Array, shape) -> jax.Array:
+    """Sum `t` down to `shape` (same ndim, 1s on broadcast axes)."""
+    axes = tuple(a for a in range(t.ndim) if shape[a] == 1 and t.shape[a] != 1)
+    return jnp.sum(t, axis=axes, keepdims=True) if axes else t
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def int8_statsq_linear(xi, s_eff, bx, kernel, w_bits):
-    """`(xi*s_eff + bx) @ StatsQ(kernel)` via the int8 code dot plus the
-    batch-independent bias correction; kernel is (in, out) with per-out
-    StatsQ scale (reduce_axis=0)."""
-    return (int8_statsq_dot(xi, kernel, w_bits) * s_eff
-            + bx.astype(xi.dtype) @ statsq_quantize(
-                kernel, w_bits, reduce_axis=0).astype(xi.dtype))
+    """`(xi*s_eff + bx) @ StatsQ(kernel)` where `xi` is already
+    INTEGER-valued (LSQ codes from an upstream round_pass chain): the dot
+    runs int8 x int8 -> int32 on the MXU with the dequant column scale
+    applied after, and the bias term folds to the batch-independent
+    `(bx @ W_int) * col` correction — ONE kernel quantization per call,
+    never a materialized dequantized kernel.
+
+    The custom VJP emits the composed path's exact cotangent algebra
+    (dxi = (g*s_eff) @ w_q^T; ds_eff = sum_out g*dot; dbx = sum g @ w_q^T;
+    dkernel = (xi*s_eff + bx)^T @ g — the StatsQ STE) and stores `xi` as
+    int8, HALVING that residual's HBM bytes vs the bf16 composed path.
+    The caller keeps the LSQ grad-scale/clip chain outside (s_eff, bx are
+    this op's differentiable inputs)."""
+    y, _ = _int8_statsq_linear_fwd(xi, s_eff, bx, kernel, w_bits)
+    return y
+
+
+def _int8_statsq_linear_fwd(xi, s_eff, bx, kernel, w_bits):
+    n = float(2 ** (w_bits - 1))
+    w_int, s_w = _weight_int(kernel.astype(jnp.float32), w_bits)
+    acc = jax.lax.dot_general(
+        xi.astype(jnp.int8), w_int.astype(jnp.int8),
+        (((xi.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    col = (s_w / (2.0 * n)).astype(jnp.float32)
+    dot = (acc.astype(jnp.float32) * col).astype(xi.dtype)
+    bq = ((bx.astype(jnp.float32) @ w_int) * col).astype(xi.dtype)
+    y = dot * s_eff + bq
+    return y, (xi.astype(jnp.int8), s_eff, bx, kernel, dot)
+
+
+def _int8_statsq_linear_bwd(w_bits, res, g):
+    xi8, s_eff, bx, kernel, dot = res
+    n = float(2 ** (w_bits - 1))
+    w_int, s_w = _weight_int(kernel.astype(jnp.float32), w_bits)
+    col = (s_w / (2.0 * n)).astype(jnp.float32)
+
+    # dxi = (g*s_eff) @ w_q^T == ((g*s_eff)*col) @ W_int^T — the stream-
+    # dtype dot with fp32 accumulation, no dequantized kernel materialized
+    gs = (g * s_eff).astype(g.dtype)
+    gcol = (gs.astype(jnp.float32) * col).astype(g.dtype)
+    dxi = jax.lax.dot_general(
+        gcol, w_int.astype(g.dtype), (((g.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(g.dtype)
+
+    ds_full = jnp.sum((g.astype(jnp.float32) * dot.astype(jnp.float32)),
+                      axis=-1, keepdims=True)
+    ds_eff = _unbroadcast(ds_full, s_eff.shape).astype(s_eff.dtype)
+
+    lead = tuple(range(g.ndim - 1))
+    gsum = jnp.sum(g.astype(jnp.float32), axis=lead)          # (out,)
+    dbx = ((gsum * col) @ w_int.T).astype(bx.dtype)           # (in,)
+
+    # dkernel = x2^T @ g (StatsQ STE) with x2 = xi*s_eff + bx recomputed
+    # from the int8 residual — stream-dtype operands, fp32 accumulation
+    x2 = (xi8.astype(g.dtype) * s_eff + bx.astype(g.dtype)).astype(g.dtype)
+    dkernel = jnp.einsum("...i,...o->io", x2, g,
+                         preferred_element_type=jnp.float32)
+    return dxi, ds_eff, dbx, dkernel.astype(kernel.dtype)
+
+
+int8_statsq_linear.defvjp(_int8_statsq_linear_fwd, _int8_statsq_linear_bwd)
 
 
 def frozen_int8_linear(xi, s_eff, bx, w_q, w_scale, bits):
@@ -228,8 +248,9 @@ def frozen_int8_linear(xi, s_eff, bx, w_q, w_scale, bits):
     DEQUANTIZED StatsQ values (in, out) whose integer codes are
     reconstructed from the stored artifact scale (serve --int-core)."""
     w_int, col = frozen_weight_int(w_q, w_scale, bits)
+    bq = (bx.astype(jnp.float32) @ w_int) * col.reshape(-1)
     return (int8_code_dot(xi, w_int, col).astype(xi.dtype) * s_eff
-            + bx.astype(xi.dtype) @ w_q.astype(xi.dtype))
+            + bq.astype(xi.dtype))
 
 
 # ------------------------------------------------------ frozen serving
@@ -271,7 +292,7 @@ def frozen_int8_forward(x, w_q, w_scale, s, b_pre, b_post, *,
         xi.astype(jnp.int8), w_int.astype(jnp.int8),
         (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
-    bq = b_post.astype(jnp.float32) @ w_q.astype(jnp.float32)
+    bq = (b_post.astype(jnp.float32) @ w_int) * col.reshape(-1)
     y = (acc.astype(jnp.float32) * s_eff.astype(jnp.float32)
          * col.reshape(-1) + bq)
     return y.astype(x.dtype)

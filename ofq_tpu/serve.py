@@ -14,6 +14,7 @@ compiled batch predictor with fixed shapes (one compile, then
 from __future__ import annotations
 
 import argparse
+import json
 import os
 from typing import Optional
 
@@ -160,7 +161,23 @@ def predictor_from_artifact(npz_path: str, args_yaml: str, *,
     for k, v in saved.items():
         if hasattr(args, k):
             setattr(args, k, v)
-    if int_core and not (2 <= args.wq_bitw <= 4 and args.aq_bitw <= 7):
+    # the artifact records its own weight_bits — that is the authoritative
+    # value for code reconstruction; a mismatched args.yaml (wrong exp_dir
+    # next to the right npz) would otherwise silently rebuild wrong codes
+    meta = json.loads(bytes(np.load(npz_path)["__meta__"]).decode())
+    if meta["weight_bits"] != args.wq_bitw:
+        raise ValueError(
+            f"artifact {npz_path} was packed at W{meta['weight_bits']} but "
+            f"{args_yaml} says wq_bitw={args.wq_bitw}; wrong exp_dir for "
+            f"this artifact")
+    if bool(meta.get("qk_reparam", False)) != bool(args.qk_reparam):
+        raise ValueError(
+            f"artifact qk_reparam={meta.get('qk_reparam')} != args.yaml "
+            f"qk_reparam={args.qk_reparam}; wrong exp_dir for this artifact")
+    from .ops.int8_qlinear import int8_eligible
+
+    if int_core and not int8_eligible(args.wq_bitw, args.aq_bitw,
+                                      all_positive=True):
         # outside these ranges the QLinears would silently fall back to
         # the fp frozen path (int8_eligible: W_int=2k+1 must fit int8;
         # the asymmetric fc2 input codes 0..2^a-1 need a <= 7) and any

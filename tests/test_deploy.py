@@ -240,3 +240,42 @@ class TestExportRestore:
         with pytest.raises(NotImplementedError):
             export_packed(jax.tree.map(np.asarray, params["params"]),
                           weight_bits=2, qk_reparam=False)
+
+
+class TestArtifactMetaGuards:
+    def test_artifact_args_bit_mismatch_rejected(self, tmp_path):
+        """predictor_from_artifact must validate the artifact's recorded
+        weight_bits against args.yaml: with a mismatched pair (wrong
+        exp_dir next to the right npz) the int-core path would rebuild
+        integer codes at the wrong n and silently serve garbage."""
+        import yaml as _yaml
+
+        from ofq_tpu.serve import predictor_from_artifact
+
+        exported = export_packed(
+            {"head": {"kernel": np.ones((8, 4), np.float32)}},
+            weight_bits=2, qk_reparam=False, num_heads=1)
+        npz = str(tmp_path / "w2.npz")
+        np.savez(npz, **exported)
+        ay = str(tmp_path / "args.yaml")
+        with open(ay, "w") as f:
+            _yaml.safe_dump({"wq_bitw": 4, "aq_bitw": 4}, f)
+        with pytest.raises(ValueError, match="packed at W2"):
+            predictor_from_artifact(npz, ay)
+
+    def test_artifact_args_qkr_mismatch_rejected(self, tmp_path):
+        import yaml as _yaml
+
+        from ofq_tpu.serve import predictor_from_artifact
+
+        exported = export_packed(
+            {"head": {"kernel": np.ones((8, 4), np.float32)}},
+            weight_bits=2, qk_reparam=True, num_heads=1)
+        npz = str(tmp_path / "w2qkr.npz")
+        np.savez(npz, **exported)
+        ay = str(tmp_path / "args.yaml")
+        with open(ay, "w") as f:
+            _yaml.safe_dump({"wq_bitw": 2, "aq_bitw": 2,
+                             "qk_reparam": False}, f)
+        with pytest.raises(ValueError, match="qk_reparam"):
+            predictor_from_artifact(npz, ay)

@@ -65,3 +65,39 @@ def test_sigterm_checkpoints_and_exits_cleanly(tmp_path):
     text2 = res.stdout + res.stderr
     assert "resumed from recovery snapshot" in text2, text2[-3000:]
     assert "best top1" in text2, text2[-3000:]  # trained + evaluated
+
+
+def test_save_recovery_replaces_stale_foreign_snapshot(tmp_path):
+    """A same-step-id recovery snapshot written by a PRIOR run (different
+    lineage: changed seed/config on a reused output dir) must be replaced
+    by the live state, not kept — auto-resume would otherwise silently
+    restore a different trajectory.  A re-save of a step THIS process
+    already wrote is skipped (no redundant IO)."""
+    import numpy as np
+
+    from ofq_tpu.cli.runner import Runner
+    from ofq_tpu.train.checkpoint import make_manager, save_epoch
+
+    class Shim:
+        out_dir = str(tmp_path)
+        _save_recovery = Runner._save_recovery
+
+    stale = {"w": np.full((2,), 1.0, np.float32)}
+    live = {"w": np.full((2,), 2.0, np.float32)}
+
+    # a prior run's snapshot at step 7
+    prior = make_manager(str(tmp_path / "recovery"), max_to_keep=2)
+    save_epoch(prior, 7, stale)
+    prior.wait_until_finished()
+    prior.close()
+
+    r = Shim()
+    assert r._save_recovery(7, live) is True  # replaced, not kept
+    r._recovery_mgr.wait_until_finished()
+    import orbax.checkpoint as ocp
+    got = r._recovery_mgr.restore(
+        7, args=ocp.args.StandardRestore({"w": np.zeros((2,), np.float32)}))
+    assert float(got["w"][0]) == 2.0, "stale foreign snapshot survived"
+    # same step, same process: skip
+    assert r._save_recovery(7, live) is False
+    r._recovery_mgr.close()
