@@ -67,7 +67,18 @@ def build(variant: str, batch: int, dtype: str = None, attn_impl=None):
     else:
         from ofq_tpu.quant import QuantPolicy
         policy = QuantPolicy()
-    extra = {} if is_swin else {"attn_impl": attn_impl}  # DeiT-only knob
+    if is_swin:
+        # recipe parity: the published Swin-T QAT recipe trains with
+        # drop_path 0.0 (reference configs/swin_t_imagenet.attn_q.yml:43,
+        # mirrored in configs/swin_imagenet_qat.yml)
+        extra = {"drop_path_rate": 0.0}
+        if "remat" in variant:
+            # "swin_bf16_remat" -> stages (0, 1); "swin_bf16_remat0" -> (0,)
+            tail = variant.split("remat", 1)[1]
+            extra["remat_stages"] = (tuple(int(c) for c in tail)
+                                     if tail else (0, 1))
+    else:
+        extra = {"attn_impl": attn_impl}  # DeiT-only knob
     student = create_model(model_name, policy=policy,
                            compute_dtype=compute_dtype, **extra)
     teacher = create_model(model_name, compute_dtype=compute_dtype)

@@ -61,6 +61,14 @@ class SwinConfig:
     ln_eps: float = 1e-5
     matmul_impl: Optional[str] = None
     compute_dtype: Optional[str] = None
+    # jax.checkpoint the blocks of these stages (0-indexed).  Measured on
+    # the v5e chip (Swin-T W2A2 bf16, B64): remat LOSES throughput —
+    # stages (0,1) 436 img/s, (0,) 459, vs 498 plain — because nothing
+    # spills at this scale, so the recompute FLOPs buy no saved traffic.
+    # Keep it a memory-capacity knob for bigger models/batches, not a
+    # speed path (values/grads are bit-exact either way, see
+    # tests/test_swin.py::test_remat_stages_bit_exact).
+    remat_stages: Tuple[int, ...] = ()
 
 
 SWIN_TINY = SwinConfig()
@@ -188,10 +196,13 @@ class SwinAttention(WindowAttentionBase):
         Bn, n, C = tokens.shape
         H = self.num_heads
         d = C // H
-        # natural (Bn, n, H, d) layout — no materialized head transposes
+        # natural (Bn, n, H, d) layout — no materialized head transposes;
+        # last-axis split of the contiguous q/k/v thirds is layout-free
+        # (the 5-D middle-axis slice cost ~4.7 ms/step of copies on the
+        # Swin-T teacher, round-3 trace)
         qkv = nn.Dense(3 * C, name="qkv")(tokens)
-        qkv = qkv.reshape(Bn, n, 3, H, d)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        q, k, v = (t.reshape(Bn, n, H, d)
+                   for t in jnp.split(qkv, 3, axis=-1))
         attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * (d ** -0.5)
         attn = attn + self.rel_pos_bias().astype(attn.dtype)
         num_windows = (geom[3] // self.window_size) * (geom[4] // self.window_size)
@@ -252,13 +263,14 @@ class QSwinAttention(WindowAttentionBase):
         qkv = QLinear(3 * C, name="qkv", **lin_kwargs)(tokens)
         if self.input_bits < 32:
             qkv = LearnableBias(3 * C, name="move_qkv_b4")(qkv)
-        qkv = qkv.reshape(Bn, n, 3, H, d)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (Bn, n, H, d)
+        # last-axis split of contiguous q/k/v thirds — layout-free
+        qs, ks, v = jnp.split(qkv, 3, axis=-1)  # (Bn, n, C) each
+        q = qs.reshape(Bn, n, H, d)
+        k = ks.reshape(Bn, n, H, d)
         q = LsqAct(self.input_bits, channel_axis=1,
                    learnable=self.aq_learnable, name="quan_q")(q)
         k = LsqAct(self.input_bits, channel_axis=1,
                    learnable=self.aq_learnable, name="quan_k")(k)
-        v = v.reshape(Bn, n, C)
         v = LsqAct(self.input_bits, channel_axis=-1,
                    learnable=self.aq_learnable, name="quan_v")(v)
         if self.input_bits < 32:
@@ -398,7 +410,7 @@ class SwinBlock(nn.Module):
     drop_path: float = 0.0
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True):
         cfg, pol = self.cfg, self.policy
         h = _norm(cfg.ln_eps, "norm1", cfg.compute_dtype)(x)
         common = dict(dim=self.dim, num_heads=self.num_heads,
@@ -492,14 +504,16 @@ class SwinTransformer(nn.Module):
             for blk in range(depth):
                 sd = cfg.drop_path_rate * block_id / max(total_blocks - 1, 1)
                 shift = 0 if blk % 2 == 0 else cfg.window_size // 2
-                x, info = SwinBlock(
+                block_cls = (nn.remat(SwinBlock, static_argnums=(2,))
+                             if stage in cfg.remat_stages else SwinBlock)
+                x, info = block_cls(
                     cfg=cfg, policy=pol, dim=dim,
                     num_heads=cfg.num_heads[stage], shift=shift,
                     attn_path=f"features.{feat_idx}.{blk}.attn",
                     mlp_path=f"features.{feat_idx}.{blk}.mlp",
                     drop_path=sd,
                     name=f"features_{feat_idx}_{blk}",
-                )(x, deterministic=deterministic)
+                )(x, deterministic)
                 attn_infos.append(info)
                 block_id += 1
             feat_idx += 1

@@ -303,10 +303,12 @@ class Attention(nn.Module):
         scale = d ** -0.5
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, name="qkv")(x)
         # keep the natural (B, N, H, d) layout — no materialized 5-D
-        # transpose; the einsums below carry the head axis in place and
-        # XLA folds the layouts into the dots
-        qkv = qkv.reshape(B, N, 3, H, d)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, d)
+        # transpose: q/k/v are contiguous last-axis thirds of the qkv
+        # output (column order (3, H, d)), so the split + trailing
+        # reshape is layout-free, where a middle-axis 5-D slice costs
+        # measured copies (~2 ms/step on the Swin-T teacher)
+        q, k, v = (t.reshape(B, N, H, d)
+                   for t in jnp.split(qkv, 3, axis=-1))
 
         attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
         attn = jax.nn.softmax(attn, axis=-1)
@@ -370,16 +372,19 @@ class QAttention(nn.Module):
         # keep the natural (B, N, H, d) layout throughout — no materialized
         # (B,H,N,d) transposes; the per-token LSQ scale rides axis 1, which
         # is numerically identical to the reference's axis -2 on (B,H,N,d)
-        # (same scale shape (N,), same group numel B*H*d, attention.py:77-78)
-        qkv = qkv.reshape(B, N, 3, H, d)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, d)
+        # (same scale shape (N,), same group numel B*H*d, attention.py:77-78).
+        # q/k/v split on the LAST axis (contiguous thirds, column order
+        # (3, H, d)) + trailing reshape — layout-free, unlike a 5-D
+        # middle-axis slice which materializes copies.
+        qs, ks, v = jnp.split(qkv, 3, axis=-1)  # (B, N, C) each
+        q = qs.reshape(B, N, H, d)
+        k = ks.reshape(B, N, H, d)
 
         q = LsqAct(self.input_bits, channel_axis=1,
                    learnable=self.aq_learnable, name="quan_q")(q)
         k = LsqAct(self.input_bits, channel_axis=1,
                    learnable=self.aq_learnable, name="quan_k")(k)
         # v: per-channel scale on (B,N,C) (attention.py:80-82)
-        v = v.reshape(B, N, C)
         v = LsqAct(self.input_bits, channel_axis=-1,
                    learnable=self.aq_learnable, name="quan_v")(v)
         if self.input_bits < 32:

@@ -124,6 +124,34 @@ class TestSwinQuant:
         # QKR params exist in windowed attention
         assert "v_kernel" in params["params"]["features_1_0"]["attn"]
 
+    def test_remat_stages_bit_exact(self):
+        # remat_stages wraps blocks in jax.checkpoint: values and grads
+        # must be IDENTICAL to the plain path (same graph, recomputed
+        # residuals), including through the quantizer custom-VJPs
+        pol = policy_from_args(
+            wq_bitw=2, aq_bitw=2, qmodules=default_swin_qmodules((1, 1)),
+            qk_reparam=True, qk_reparam_type=0)
+        x = x_batch()
+        m_plain = SwinTransformer(cfg=SMALL, policy=pol)
+        m_remat = SwinTransformer(
+            cfg=dataclasses.replace(SMALL, remat_stages=(0, 1)), policy=pol)
+        params = m_plain.init({"params": jax.random.key(0)}, x)
+
+        def make_loss(m):
+            def loss(p):
+                logits, _ = m.apply(
+                    p, x, train=True,
+                    rngs={"dropout": jax.random.key(1),
+                          "droppath": jax.random.key(2)})
+                return jnp.sum(logits.astype(jnp.float32) ** 2)
+            return loss
+
+        v1, g1 = jax.jit(jax.value_and_grad(make_loss(m_plain)))(params)
+        v2, g2 = jax.jit(jax.value_and_grad(make_loss(m_remat)))(params)
+        assert float(v1) == float(v2)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_cga_selection_swin(self):
         from ofq_tpu.train import freeze_masks
 
