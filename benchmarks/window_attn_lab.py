@@ -1,0 +1,307 @@
+"""Lab bench for the Swin window-attention tail kernel.
+
+Ablation micro-benchmarks on the real chip to locate where the fused
+kernel's time goes (dots vs softmax vs relayouts vs grid), and to test
+packing strategies (head/window block-diagonal packing) that turn many
+tiny MXU dots into few big ones.  Shapes: Swin-T stage 0 under the bench
+workload — Bn=64*64 windows, n=49, H=3, d=32 (the worst, most
+latency-bound case; later stages have fewer windows and more heads).
+
+Usage: python benchmarks/window_attn_lab.py [--variants v1,v2,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Bn, n, H, d = 64 * 64, 49, 3, 32
+C = H * d
+SM = d ** -0.5
+
+
+def _data(dtype=jnp.bfloat16):
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(Bn, n, H, d)), dtype)
+    k = jnp.asarray(rng.normal(size=(Bn, n, H, d)), dtype)
+    v = jnp.asarray(rng.normal(size=(Bn, n, H, d)), dtype)
+    return q, k, v
+
+
+def _time(fn, *args, iters=20):
+    f = jax.jit(fn)
+    r = f(*args)
+    float(jnp.sum(r.astype(jnp.float32)))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = f(*args)
+    float(jnp.sum(r.astype(jnp.float32)))
+    return round((time.perf_counter() - t0) / iters * 1e3, 3)
+
+
+# ----------------------------------------------------------------- XLA
+def xla_tail(q, k, v):
+    attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * SM
+    attn = jax.nn.softmax(attn, axis=-1)
+    return jnp.einsum("bhnm,bmhd->bnhd", attn, v)
+
+
+def xla_scores_only(q, k, v):
+    return jnp.einsum("bnhd,bmhd->bhnm", q, k) * SM
+
+
+# ------------------------------------------------- pallas: current units
+def _units(x):
+    WB = x.shape[0]
+    return x.transpose(0, 2, 1, 3).reshape((WB * H, n) + x.shape[3:])
+
+
+def _mk_kernel(do_scores=True, do_softmax=True, do_out=True):
+    def kernel(q_ref, k_ref, v_ref, o_ref):
+        WB = q_ref.shape[0]
+        q_u, k_u, v_u = _units(q_ref[...]), _units(k_ref[...]), _units(v_ref[...])
+        if do_scores:
+            s = jax.lax.dot_general(
+                q_u, k_u, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) * SM
+        else:
+            s = jnp.broadcast_to(
+                q_u[:, :, :1].astype(jnp.float32), (WB * H, n, n))
+        if do_softmax:
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+        else:
+            p = s
+        if do_out:
+            out = jax.lax.dot_general(
+                p.astype(v_u.dtype), v_u, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+        else:
+            out = jnp.broadcast_to(p[:, :, :d], (WB * H, n, d))
+        o_ref[...] = out.reshape(WB, H, n, d).transpose(0, 2, 1, 3).astype(
+            o_ref.dtype)
+    return kernel
+
+
+def pallas_units(q, k, v, WB=16, **ablate):
+    spec = pl.BlockSpec((WB, n, H, d), lambda b: (b, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _mk_kernel(**ablate), grid=(Bn // WB,),
+        in_specs=[spec, spec, spec], out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((Bn, n, H, d), q.dtype),
+    )(q, k, v)
+
+
+# --------------------------------------- pallas: block-diagonal packing
+def _blockdiag(blocks, rows, cols, dtype):
+    """Block-diagonal (P*rows, P*cols) from P (rows, cols) blocks using
+    only Mosaic-supported ops: lane-concat with zeros + sublane-concat."""
+    P = len(blocks)
+    z = jnp.zeros((rows, cols), dtype)
+    out_rows = []
+    for p in range(P):
+        out_rows.append(jnp.concatenate(
+            [blocks[p] if w == p else z for w in range(P)], axis=-1))
+    return jnp.concatenate(out_rows, axis=0)
+
+
+def _mk_packed_kernel(P):
+    """Pack P units per dot pair, transpose-free:
+
+        scores = Q_bd (P*n, P*d)  @ K_cat^T (P*d, n)   -> (P*n, n)
+        out    = PQ_bd (P*n, P*n) @ V_stack (P*n, d)   -> (P*n, d)
+
+    Q_bd/PQ_bd are block-diagonal (built by lane-concat with zeros),
+    K_cat is a lane-concat, V_stack a sublane reshape — every build uses
+    only sublane slices/merges and lane concats, softmax runs along
+    lanes.  FLOPs grow ~P-fold on the zero blocks, but these dots are
+    issue-latency-bound (0.2-0.3 us each), so P-fold fewer issues wins."""
+
+    np_ = 64  # window tokens padded to a sublane-tile-aligned count
+
+    def kernel(q_ref, k_ref, v_ref, o_ref):
+        WB = q_ref.shape[0]
+        U = WB * H
+        q_u, k_u, v_u = _units(q_ref[...]), _units(k_ref[...]), _units(v_ref[...])
+        zpad = jnp.zeros((U, np_ - n, d), q_u.dtype)
+        q_u = jnp.concatenate([q_u, zpad], axis=1)  # (U, np_, d)
+        k_u = jnp.concatenate([k_u, zpad], axis=1)
+        v_u = jnp.concatenate([v_u, zpad], axis=1)
+        # -inf for padded key columns j >= n
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, np_), 1)
+        col_mask = jnp.where(col < n, 0.0, -jnp.inf).astype(jnp.float32)
+        outs = []
+        for g in range(U // P):
+            qg = [q_u[g * P + p] for p in range(P)]   # P x (np_, d)
+            kg = [k_u[g * P + p] for p in range(P)]
+            q_bd = _blockdiag(qg, np_, d, q_u.dtype)   # (P*np_, P*d)
+            k_cat = jnp.concatenate(kg, axis=-1)       # (np_, P*d)
+            s = jax.lax.dot_general(
+                q_bd, k_cat, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * SM  # (P*np_, np_)
+            s = s + col_mask
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            p_sm = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v_u.dtype)
+            pq_bd = _blockdiag(
+                [p_sm[w * np_:(w + 1) * np_] for w in range(P)], np_, np_,
+                p_sm.dtype)                            # (P*np_, P*np_)
+            v_stack = jnp.concatenate(
+                [v_u[g * P + p] for p in range(P)], axis=0)  # (P*np_, d)
+            o = jax.lax.dot_general(
+                pq_bd, v_stack, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)    # (P*np_, d)
+            outs.append(o.reshape(P, np_, d))
+        out = jnp.concatenate(outs, axis=0)[:, :n]     # (U, n, d)
+        out = out.reshape(WB, H, n, d)
+        o_ref[...] = out.transpose(0, 2, 1, 3).astype(o_ref.dtype)
+    return kernel
+
+
+def pallas_packed(q, k, v, WB=16, P=None):
+    P = P or H
+    spec = pl.BlockSpec((WB, n, H, d), lambda b: (b, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _mk_packed_kernel(P), grid=(Bn // WB,),
+        in_specs=[spec, spec, spec], out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((Bn, n, H, d), q.dtype),
+    )(q, k, v)
+
+
+def _mk_packed_aligned_kernel(P):
+    """Tile-aligned packing: every unit occupies its own 128-lane tile in
+    the packed operands, so all block-diag builds are 128-aligned lane
+    concats (pure tile placement) instead of lane-rotating shuffles.  The
+    MXU contracts over 128-lane tiles anyway, so the zero lanes cost no
+    extra MXU time."""
+    np_ = 64
+    LT = 128  # lane tile
+
+    def kernel(q_ref, k_ref, v_ref, o_ref):
+        WB = q_ref.shape[0]
+        U = WB * H
+        q_u, k_u, v_u = _units(q_ref[...]), _units(k_ref[...]), _units(v_ref[...])
+        zpad = jnp.zeros((U, np_ - n, d), q_u.dtype)
+        q_u = jnp.concatenate([q_u, zpad], axis=1)  # (U, np_, d)
+        k_u = jnp.concatenate([k_u, zpad], axis=1)
+        v_u = jnp.concatenate([v_u, zpad], axis=1)
+        # pad lanes d -> LT once per tensor (one misaligned concat each)
+        zl = jnp.zeros((U, np_, LT - d), q_u.dtype)
+        q_t = jnp.concatenate([q_u, zl], axis=-1)  # (U, np_, LT)
+        k_t = jnp.concatenate([k_u, zl], axis=-1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, np_), 1)
+        col_mask = jnp.where(col < n, 0.0, -jnp.inf).astype(jnp.float32)
+        z_np_lt = jnp.zeros((np_, LT), q_u.dtype)
+        outs = []
+        for g in range(U // P):
+            # q_bd (P*np_, P*LT): unit p at row-block p, lane-tile p
+            rows = []
+            for p in range(P):
+                rows.append(jnp.concatenate(
+                    [q_t[g * P + p] if w == p else z_np_lt
+                     for w in range(P)], axis=-1))
+            q_bd = jnp.concatenate(rows, axis=0)
+            k_cat = jnp.concatenate(
+                [k_t[g * P + p] for p in range(P)], axis=-1)  # (np_, P*LT)
+            s = jax.lax.dot_general(
+                q_bd, k_cat, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * SM  # (P*np_, np_)
+            s = s + col_mask
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            p_sm = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v_u.dtype)
+            # pq_bd (P*np_, P*LT) with pq block p in lanes [p*LT, p*LT+np_)
+            zc = jnp.zeros((np_, LT - np_), p_sm.dtype)
+            rows = []
+            for p in range(P):
+                blk = jnp.concatenate(
+                    [p_sm[p * np_:(p + 1) * np_], zc], axis=-1)  # (np_, LT)
+                rows.append(jnp.concatenate(
+                    [blk if w == p else z_np_lt for w in range(P)], axis=-1))
+            pq_bd = jnp.concatenate(rows, axis=0)  # (P*np_, P*LT)
+            # v_stack (P*LT, d): unit p's v at rows [p*LT, p*LT+np_)
+            zv = jnp.zeros((LT - np_, d), v_u.dtype)
+            v_stack = jnp.concatenate(
+                sum(([v_u[g * P + p], zv] for p in range(P)), []), axis=0)
+            o = jax.lax.dot_general(
+                pq_bd, v_stack, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (P*np_, d)
+            outs.append(o.reshape(P, np_, d))
+        out = jnp.concatenate(outs, axis=0)[:, :n]     # (U, n, d)
+        out = out.reshape(WB, H, n, d)
+        o_ref[...] = out.transpose(0, 2, 1, 3).astype(o_ref.dtype)
+    return kernel
+
+
+def pallas_packed_aligned(q, k, v, WB=16, P=4):
+    spec = pl.BlockSpec((WB, n, H, d), lambda b: (b, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _mk_packed_aligned_kernel(P), grid=(Bn // WB,),
+        in_specs=[spec, spec, spec], out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((Bn, n, H, d), q.dtype),
+    )(q, k, v)
+
+
+VARIANTS = {
+    "xla": lambda q, k, v: xla_tail(q, k, v),
+    "xla_scores": lambda q, k, v: xla_scores_only(q, k, v),
+    "units16": lambda q, k, v: pallas_units(q, k, v, WB=16),
+    "units64": lambda q, k, v: pallas_units(q, k, v, WB=64),
+    "units16_nodots": lambda q, k, v: pallas_units(
+        q, k, v, WB=16, do_scores=False, do_out=False),
+    "units16_nosm": lambda q, k, v: pallas_units(
+        q, k, v, WB=16, do_softmax=False),
+    "units16_scoresonly": lambda q, k, v: pallas_units(
+        q, k, v, WB=16, do_softmax=False, do_out=False),
+    "packed_p3": lambda q, k, v: pallas_packed(q, k, v, WB=16, P=3),
+    "packed_p6": lambda q, k, v: pallas_packed(q, k, v, WB=16, P=6),
+    "packed_p12": lambda q, k, v: pallas_packed(q, k, v, WB=16, P=12),
+    "packed_p12_wb32": lambda q, k, v: pallas_packed(q, k, v, WB=32, P=12),
+    "aligned_p4": lambda q, k, v: pallas_packed_aligned(q, k, v, WB=16, P=4),
+    "aligned_p8": lambda q, k, v: pallas_packed_aligned(q, k, v, WB=16, P=8),
+    "aligned_p12": lambda q, k, v: pallas_packed_aligned(q, k, v, WB=16, P=12),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", default=",".join(VARIANTS))
+    ap.add_argument("--check", action="store_true",
+                    help="also assert numerics vs the XLA tail")
+    args = ap.parse_args()
+    q, k, v = _data()
+    ref = None
+    out = {}
+    for name in args.variants.split(","):
+        fn = VARIANTS[name.strip()]
+        try:
+            if args.check and name.startswith(("packed", "units")) \
+                    and "no" not in name and "only" not in name:
+                r = jax.jit(fn)(q, k, v)
+                if ref is None:
+                    ref = jax.jit(VARIANTS["xla"])(q, k, v)
+                err = float(jnp.max(jnp.abs(
+                    r.astype(jnp.float32) - ref.astype(jnp.float32))))
+                out[name + "_maxerr"] = err
+                print(json.dumps({name + "_maxerr": err}), flush=True)
+            out[name] = _time(fn, q, k, v)
+        except Exception as e:  # pragma: no cover
+            out[name] = f"ERROR: {type(e).__name__}: {e}"[:160]
+        print(json.dumps({name: out[name]}), flush=True)
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -49,23 +49,35 @@ from jax.experimental.pallas import tpu as pltpu
 _S_EPS = 1e-5
 
 
-def _scores(lhs, rhs, sm_scale):
-    """(N,K) or (N,H,K) x (N,H,K) -> (H, N, M) f32 attention logits."""
-    rhs_h = jnp.swapaxes(rhs, 0, 1)  # (H, M, K), VMEM-local move
-    if lhs.ndim == 2:
-        s = jax.lax.dot_general(
-            rhs_h, lhs, (((2,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (H, M, N)
-        return jnp.swapaxes(s, 1, 2) * sm_scale
-    lhs_h = jnp.swapaxes(lhs, 0, 1)  # (H, N, K)
+def _units(x):
+    """(WB, N, H, ...) -> (WB*H, N, ...): merge the block-row and head axes
+    into one 'unit' batch axis so every dot below is a single-batch-dim
+    batched matmul.  The (N, H) swap is a VMEM-local sublane move."""
+    WB, N, H = x.shape[0], x.shape[1], x.shape[2]
+    return x.transpose(0, 2, 1, 3).reshape((WB * H, N) + x.shape[3:])
+
+
+def _unit_scores(lhs, rhs, H, sm_scale):
+    """lhs (WB,N,K) shared-across-heads or (WB,N,H,K); rhs (WB,N,H,K)
+    -> (WB*H, N, M) f32 attention logits."""
+    WB, N = rhs.shape[0], rhs.shape[1]
+    K = rhs.shape[-1]
+    rhs_u = _units(rhs)  # (U, M, K)
+    if lhs.ndim == 3:
+        lhs_u = jnp.broadcast_to(
+            lhs[:, None], (WB, H, N, K)).reshape(WB * H, N, K)
+    else:
+        lhs_u = _units(lhs)
     return jax.lax.dot_general(
-        lhs_h, rhs_h, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32) * sm_scale  # (H, N, M)
+        lhs_u, rhs_u, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * sm_scale  # (U, N, M)
 
 
 def _fwd_kernel(lhs_ref, rhs_ref, v_ref, s_ref, o_ref, *,
                 sm_scale, thd_pos, quantize, out_dtype):
-    scores = _scores(lhs_ref[0], rhs_ref[0], sm_scale)
+    WB, N, H, _ = rhs_ref.shape
+    d = v_ref.shape[-1]
+    scores = _unit_scores(lhs_ref[...], rhs_ref[...], H, sm_scale)
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
     p = e / jnp.sum(e, axis=-1, keepdims=True)
@@ -74,25 +86,28 @@ def _fwd_kernel(lhs_ref, rhs_ref, v_ref, s_ref, o_ref, *,
         pq = jnp.round(jnp.clip(p / s_row, 0.0, thd_pos)) * s_row
     else:
         pq = p
-    v_h = jnp.swapaxes(v_ref[0], 0, 1)  # (H, M, d)
+    v_u = _units(v_ref[...])  # (U, M, d)
     out = jax.lax.dot_general(
-        pq.astype(v_h.dtype), v_h, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)  # (H, N, d)
-    o_ref[0] = jnp.swapaxes(out, 0, 1).astype(out_dtype)  # (N, H, d)
+        pq.astype(v_u.dtype), v_u, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (U, N, d)
+    o_ref[...] = out.reshape(WB, H, N, d).transpose(0, 2, 1, 3).astype(
+        out_dtype)  # (WB, N, H, d)
 
 
 def _bwd_kernel(lhs_ref, rhs_ref, v_ref, s_ref, g_ref,
                 dlhs_ref, drhs_ref, dv_ref, ds_ref, *,
                 sm_scale, thd_pos, quantize):
     b = pl.program_id(0)
-    lhs, rhs = lhs_ref[0], rhs_ref[0]
-    scores = _scores(lhs, rhs, sm_scale)
+    WB, N, H, K = rhs_ref.shape
+    d = v_ref.shape[-1]
+    lhs, rhs = lhs_ref[...], rhs_ref[...]
+    scores = _unit_scores(lhs, rhs, H, sm_scale)  # (U, N, M)
     # recompute forward (flash-style)
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
     p = e / jnp.sum(e, axis=-1, keepdims=True)
-    g_h = jnp.swapaxes(g_ref[0], 0, 1)  # (H, N, d)
-    v_h = jnp.swapaxes(v_ref[0], 0, 1)  # (H, M, d)
+    g_u = _units(g_ref[...])  # (U, N, d)
+    v_u = _units(v_ref[...])  # (U, M, d)
     if quantize:
         s_row = jnp.maximum(s_ref[:].astype(jnp.float32), _S_EPS)[None, :, :]
         u = p / s_row
@@ -101,14 +116,15 @@ def _bwd_kernel(lhs_ref, rhs_ref, v_ref, s_ref, g_ref,
         pq = uq * s_row
     else:
         pq = p
-    # dv[h] = pq_h^T @ g_h ; dpq[h] = g_h @ v_h^T
+    # dv[u] = pq_u^T @ g_u ; dpq[u] = g_u @ v_u^T
     dv = jax.lax.dot_general(
-        pq.astype(g_h.dtype), g_h, (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)  # (H, M, d)
-    dv_ref[0] = jnp.swapaxes(dv, 0, 1).astype(dv_ref.dtype)
+        pq.astype(g_u.dtype), g_u, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (U, M, d)
+    dv_ref[...] = dv.reshape(WB, H, N, d).transpose(0, 2, 1, 3).astype(
+        dv_ref.dtype)
     dpq = jax.lax.dot_general(
-        g_h, v_h, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)  # (H, N, M)
+        g_u, v_u, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (U, N, M)
     if quantize:
         # LSQ backward (all_positive): dx passes in-range, ds collects
         # round(u)-u inside, clamp bound outside (ofq_tpu/quant/lsq.py)
@@ -131,35 +147,54 @@ def _bwd_kernel(lhs_ref, rhs_ref, v_ref, s_ref, g_ref,
 
     # softmax backward: dscores = p * (dp - sum(dp * p))
     dscores = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dscores = (dscores * sm_scale).astype(rhs.dtype)  # (H, N, M)
-    # d_rhs[h] = dscores_h^T @ lhs_h ; d_lhs[h] = dscores_h @ rhs_h
-    lhs_h = (jnp.swapaxes(lhs, 0, 1) if lhs.ndim == 3
-             else jnp.broadcast_to(lhs, (dscores.shape[0],) + lhs.shape))
-    drhs = jax.lax.dot_general(
-        dscores, lhs_h.astype(dscores.dtype), (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)  # (H, M, K)
-    drhs_ref[0] = jnp.swapaxes(drhs, 0, 1).astype(drhs_ref.dtype)
-    rhs_h = jnp.swapaxes(rhs, 0, 1)  # (H, M, K)
-    dlhs = jax.lax.dot_general(
-        dscores, rhs_h.astype(dscores.dtype), (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)  # (H, N, K)
+    dscores = (dscores * sm_scale).astype(rhs.dtype)  # (U, N, M)
+    # d_rhs[u] = dscores_u^T @ lhs_u ; d_lhs[u] = dscores_u @ rhs_u
     if lhs.ndim == 3:
-        dlhs_ref[0] = jnp.swapaxes(dlhs, 0, 1).astype(dlhs_ref.dtype)
+        lhs_u = jnp.broadcast_to(
+            lhs[:, None], (WB, H, N, K)).reshape(WB * H, N, K)
+    else:
+        lhs_u = _units(lhs)
+    drhs = jax.lax.dot_general(
+        dscores, lhs_u.astype(dscores.dtype), (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (U, M, K)
+    drhs_ref[...] = drhs.reshape(WB, H, N, K).transpose(0, 2, 1, 3).astype(
+        drhs_ref.dtype)
+    rhs_u = _units(rhs)  # (U, M, K)
+    dlhs = jax.lax.dot_general(
+        dscores, rhs_u.astype(dscores.dtype), (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (U, N, K)
+    dlhs4 = dlhs.reshape(WB, H, N, K)
+    if lhs.ndim == 4:
+        dlhs_ref[...] = dlhs4.transpose(0, 2, 1, 3).astype(dlhs_ref.dtype)
     else:
         # shared lhs (QKR's xq): sum the head contributions in-cell
-        dlhs_ref[0] = jnp.sum(dlhs, axis=0).astype(dlhs_ref.dtype)
+        dlhs_ref[...] = jnp.sum(dlhs4, axis=1).astype(dlhs_ref.dtype)
 
 
-def _specs(N, H, K, d, lhs_per_head):
+def _pick_block_rows(B, N, H, K, d, itemsize, tensors):
+    """Rows per grid step.  One row per step (the round-2 design) makes the
+    grid B steps of tiny DMAs — measured 7.7 ms on Swin window shapes where
+    the math floor is ~0.2 ms, i.e. per-step overhead dominated.  Batch as
+    many rows as keep the block operands around ~1 MB (VMEM holds the
+    f32 score intermediates too, ~x(tensors) of that), sliced to a divisor
+    of B so every block is full."""
+    per_row = N * H * (2 * K + d) * itemsize + tensors * N * N * H * 4
+    wb = max(1, min(64, int(1.5e6 // max(per_row, 1))))
+    while B % wb:
+        wb -= 1
+    return wb
+
+
+def _specs(WB, N, H, K, d, lhs_per_head):
     lhs_spec = (
-        pl.BlockSpec((1, N, H, K), lambda b: (b, 0, 0, 0),
+        pl.BlockSpec((WB, N, H, K), lambda b: (b, 0, 0, 0),
                      memory_space=pltpu.VMEM)
         if lhs_per_head else
-        pl.BlockSpec((1, N, K), lambda b: (b, 0, 0),
+        pl.BlockSpec((WB, N, K), lambda b: (b, 0, 0),
                      memory_space=pltpu.VMEM))
-    rhs_spec = pl.BlockSpec((1, N, H, K), lambda b: (b, 0, 0, 0),
+    rhs_spec = pl.BlockSpec((WB, N, H, K), lambda b: (b, 0, 0, 0),
                             memory_space=pltpu.VMEM)
-    v_spec = pl.BlockSpec((1, N, H, d), lambda b: (b, 0, 0, 0),
+    v_spec = pl.BlockSpec((WB, N, H, d), lambda b: (b, 0, 0, 0),
                           memory_space=pltpu.VMEM)
     s_spec = pl.BlockSpec((N, 1), lambda b: (0, 0),
                           memory_space=pltpu.VMEM)
@@ -178,15 +213,16 @@ def _attn_core_fwd(lhs, rhs, v, s, bits, sm_scale, quantize, interpret):
     d = v.shape[-1]
     lhs_per_head = lhs.ndim == 4
     thd_pos = 2 ** bits - 1
-    lhs_spec, rhs_spec, v_spec, s_spec = _specs(N, H, K, d, lhs_per_head)
+    WB = _pick_block_rows(B, N, H, K, d, rhs.dtype.itemsize, tensors=2)
+    lhs_spec, rhs_spec, v_spec, s_spec = _specs(WB, N, H, K, d, lhs_per_head)
     s2 = s.reshape(N, 1).astype(jnp.float32)
     out = pl.pallas_call(
         functools.partial(
             _fwd_kernel, sm_scale=sm_scale, thd_pos=thd_pos,
             quantize=quantize, out_dtype=v.dtype),
-        grid=(B,),
+        grid=(B // WB,),
         in_specs=[lhs_spec, rhs_spec, v_spec, s_spec],
-        out_specs=pl.BlockSpec((1, N, H, d), lambda b: (b, 0, 0, 0),
+        out_specs=pl.BlockSpec((WB, N, H, d), lambda b: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N, H, d), v.dtype),
         interpret=interpret,
@@ -200,15 +236,17 @@ def _attn_core_bwd(bits, sm_scale, quantize, interpret, res, g):
     d = v.shape[-1]
     lhs_per_head = lhs.ndim == 4
     thd_pos = 2 ** bits - 1
-    lhs_spec, rhs_spec, v_spec, s_spec = _specs(N, H, K, d, lhs_per_head)
-    g_spec = pl.BlockSpec((1, N, H, d), lambda b: (b, 0, 0, 0),
+    # bwd holds ~4 (U, N, M) f32 intermediates (scores/p/dpq/dscores)
+    WB = _pick_block_rows(B, N, H, K, d, rhs.dtype.itemsize, tensors=4)
+    lhs_spec, rhs_spec, v_spec, s_spec = _specs(WB, N, H, K, d, lhs_per_head)
+    g_spec = pl.BlockSpec((WB, N, H, d), lambda b: (b, 0, 0, 0),
                           memory_space=pltpu.VMEM)
     s2 = s.reshape(N, 1).astype(jnp.float32)
     dlhs, drhs, dv, ds = pl.pallas_call(
         functools.partial(
             _bwd_kernel, sm_scale=sm_scale, thd_pos=thd_pos,
             quantize=quantize),
-        grid=(B,),
+        grid=(B // WB,),
         in_specs=[lhs_spec, rhs_spec, v_spec, s_spec, g_spec],
         out_specs=[
             lhs_spec,
