@@ -19,6 +19,9 @@ Variants:
   swin_<sub>  — any variant above on the Swin-T workload (e.g. swin_fp,
                 swin_noqkr, swin_noteacher, swin_fwd) for the Swin
                 step anatomy
+  *int8*      — any variant containing "int8" (e.g. int8_bf16,
+                swin_int8_bf16) runs with --matmul-impl int8 (the
+                integer-core MXU path, docs/DESIGN.md §5d)
 
 Usage:  python benchmarks/step_anatomy.py [--variants full,bf16,...]
                                           [--batch 128] [--iters 10]
@@ -79,6 +82,8 @@ def build(variant: str, batch: int, dtype: str = None, attn_impl=None):
                                      if tail else (0, 1))
     else:
         extra = {"attn_impl": attn_impl}  # DeiT-only knob
+    if "int8" in variant:
+        extra["matmul_impl"] = "int8"
     student = create_model(model_name, policy=policy,
                            compute_dtype=compute_dtype, **extra)
     teacher = create_model(model_name, compute_dtype=compute_dtype)

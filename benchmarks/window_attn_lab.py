@@ -58,6 +58,28 @@ def xla_scores_only(q, k, v):
     return jnp.einsum("bnhd,bmhd->bhnm", q, k) * SM
 
 
+def xla_packed(q, k, v, P=2):
+    """Pack P windows along the token axis in pure XLA: (Bn,n,H,d) ->
+    (Bn/P, P*n, H, d) is a FREE reshape (adjacent axes), the dots run at
+    P-fold fewer issues on (P*n, d) x (d, P*n) operands, and a static
+    block-diagonal -inf mask zeroes the cross-window probabilities so
+    softmax/AV are exact.  At P=2 the padded score tile (112x128 bf16)
+    is SMALLER than two unpacked (64x128) tiles — fewer issues AND fewer
+    bytes."""
+    pn = P * n
+    qp = q.reshape(Bn // P, pn, H, d)
+    kp = k.reshape(Bn // P, pn, H, d)
+    vp = v.reshape(Bn // P, pn, H, d)
+    blk = np.arange(pn) // n
+    mask = jnp.asarray(np.where(blk[:, None] == blk[None, :], 0.0,
+                                -np.inf), jnp.float32)
+    s = jnp.einsum("bnhd,bmhd->bhnm", qp, kp,
+                   preferred_element_type=jnp.float32) * SM + mask
+    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhnm,bmhd->bnhd", p, vp)
+    return out.reshape(Bn, n, H, d)
+
+
 # ------------------------------------------------- pallas: current units
 def _units(x):
     WB = x.shape[0]
@@ -257,6 +279,9 @@ def pallas_packed_aligned(q, k, v, WB=16, P=4):
 VARIANTS = {
     "xla": lambda q, k, v: xla_tail(q, k, v),
     "xla_scores": lambda q, k, v: xla_scores_only(q, k, v),
+    "xla_packed_p2": lambda q, k, v: xla_packed(q, k, v, P=2),
+    "xla_packed_p4": lambda q, k, v: xla_packed(q, k, v, P=4),
+    "xla_packed_p8": lambda q, k, v: xla_packed(q, k, v, P=8),
     "units16": lambda q, k, v: pallas_units(q, k, v, WB=16),
     "units64": lambda q, k, v: pallas_units(q, k, v, WB=64),
     "units16_nodots": lambda q, k, v: pallas_units(
@@ -287,7 +312,7 @@ def main():
     for name in args.variants.split(","):
         fn = VARIANTS[name.strip()]
         try:
-            if args.check and name.startswith(("packed", "units")) \
+            if args.check and name.startswith(("packed", "units", "xla_packed")) \
                     and "no" not in name and "only" not in name:
                 r = jax.jit(fn)(q, k, v)
                 if ref is None:

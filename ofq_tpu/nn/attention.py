@@ -165,26 +165,23 @@ def qkr_quant_chain(mod, x):
     # per-(token,head) scale semantics are identical (same groups,
     # same grad factor B*C, same flat ordering n*H+h).
     if frozen_int:
-        from ..ops.int8_qlinear import frozen_int8_linear
+        from ..ops.int8_qlinear import frozen_int8_qkx
 
         qk_scale = mod.param("w_qk_scale", nn.initializers.ones,
                              (H * C, 1), jnp.float32)
-        # (in=C, out=H*C) view; the per-row (H*C,) artifact scale
-        # becomes the per-out-column scale of the transposed view
-        qkx = frozen_int8_linear(
-            xi, s_eff, bx, w_qk.reshape(H * C, C).T,
-            qk_scale.reshape(1, -1), mod.frozen_int_bits
-        ).reshape(B, N, H, C)
+        # layout-preserving (B,N,C) x (H,C,C) contraction; the per-row
+        # (H*C,) artifact scale is the per-(h,i) column scale
+        qkx = frozen_int8_qkx(
+            xi, s_eff, bx, w_qk, qk_scale, mod.frozen_int_bits)
     elif use_int8:
-        from ..ops.int8_qlinear import int8_statsq_linear
+        from ..ops.int8_qlinear import int8_statsq_qkx
 
-        # int8 codes shared with the v dot; the (B,N,H*C) -> 4-D split
-        # of trailing dims is layout-free (unlike the N,H merge);
-        # per-column scale of the (C, H*C) view == the reference's
-        # per-row scale of (H*C, C)
-        qkx = int8_statsq_linear(
-            xi, s_eff, bx, w_qk.reshape(H * C, C).T, mod.weight_bits
-        ).reshape(B, N, H, C)
+        # int8 codes shared with the v dot; the dot contracts the last
+        # axes of (B,N,C) x (H,C,C) directly to the 4-D layout this
+        # chain runs on — the flat (B,N,H*C) formulation forced XLA
+        # layout copies (+13 ms/step, docs/DESIGN.md §5d)
+        qkx = int8_statsq_qkx(
+            xi, s_eff, bx, w_qk.reshape(H * C, C), mod.weight_bits)
     else:
         qkx = jnp.einsum("bnj,hij->bnhi", xq, w_qk)  # (B, N, H, C)
     qkx = LearnableBias(H * C, apply_shape=(H, C),

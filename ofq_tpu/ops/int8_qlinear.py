@@ -243,6 +243,120 @@ def _int8_statsq_linear_bwd(w_bits, res, g):
 int8_statsq_linear.defvjp(_int8_statsq_linear_fwd, _int8_statsq_linear_bwd)
 
 
+def _weight_int_rows(w_qk, bits):
+    """Odd integer codes of the (H*C, C) QKR product matrix, StatsQ
+    per ROW (reduce_axis=-1 — the composed statsq_quantize orientation
+    for W_qk, reference attention.py:190-196)."""
+    n = float(2 ** (bits - 1))
+    s_w = statsq_scale(w_qk, reduce_axis=-1)          # (H*C, 1)
+    clipped = jnp.clip(w_qk / s_w, -1.0, 1.0 - _CLIP_HI_EPS)
+    k = jnp.round(clipped * n - 0.5)
+    return 2.0 * k + 1.0, s_w
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def int8_statsq_qkx(xi, s_eff, bx, w_qk, w_bits):
+    """`einsum('bnj,hij->bnhi', xi*s_eff + bx, StatsQ(w_qk))` with int8
+    MXU operands — the QKR qkx chain's dot, LAYOUT-PRESERVING.
+
+    The flat `(B,N,C) @ (C,H*C)` int8 formulation produces a 2-D-layout
+    output whose reshape to the 4-D (B,N,H,C) the downstream bias/LSQ
+    chain runs on is layout-incompatible with the (B,H,N,C)-physical
+    layout XLA picks for the surrounding einsums — reintroducing the
+    materialized copies §5d removed (measured +13 ms/step on the bench
+    workload).  Contracting the last axes of (B,N,C) x (H,C,C) directly
+    emits the einsum's own layout; no copies.
+
+    `w_qk` is the raw (H*C, C) per-head product matrix; its StatsQ
+    scale/codes are derived per row (reduce_axis=-1), exactly matching
+    the composed `statsq_quantize(w_qk, bits, reduce_axis=-1)`.
+    `s_eff` is the per-token LSQ scale broadcast over the (B,N,C) input
+    (constant along C, so it factors out of the contraction).  Cotangent
+    algebra mirrors int8_statsq_linear with the einsum axes."""
+    y, _ = _int8_statsq_qkx_fwd(xi, s_eff, bx, w_qk, w_bits)
+    return y
+
+
+def _qkx_parts(xi, w_qk, w_bits):
+    C = xi.shape[-1]
+    H = w_qk.shape[0] // C
+    n = float(2 ** (w_bits - 1))
+    w_int, s_w = _weight_int_rows(w_qk.astype(jnp.float32), w_bits)
+    w3 = w_int.reshape(H, C, C)                       # (h, i, j)
+    col = (s_w / (2.0 * n)).reshape(H, C)             # f32 (h, i)
+    return w3, col
+
+
+def _int8_statsq_qkx_fwd(xi, s_eff, bx, w_qk, w_bits):
+    w3, col = _qkx_parts(xi, w_qk, w_bits)
+    acc = jax.lax.dot_general(
+        xi.astype(jnp.int8), w3.astype(jnp.int8),
+        (((xi.ndim - 1,), (2,)), ((), ())),
+        preferred_element_type=jnp.int32)             # (B, N, H, C)
+    dot = (acc.astype(jnp.float32) * col).astype(xi.dtype)
+    bq = (jnp.einsum("j,hij->hi", bx.astype(jnp.float32), w3)
+          * col).astype(xi.dtype)
+    y = dot * s_eff[..., None] + bq
+    return y, (xi.astype(jnp.int8), s_eff, bx, w_qk, dot)
+
+
+def _int8_statsq_qkx_bwd(w_bits, res, g):
+    xi8, s_eff, bx, w_qk, dot = res
+    w3, col = _qkx_parts(xi8, w_qk, w_bits)
+
+    # dxi = einsum('bnhi,hij->bnj', g*s_eff*w_q) — stream-dtype dot with
+    # fp32 accumulation, the dequant column scale folded into the lhs
+    gs = (g * s_eff[..., None]).astype(g.dtype)
+    gcol = (gs.astype(jnp.float32) * col).astype(g.dtype)
+    dxi = jax.lax.dot_general(
+        gcol, w3.astype(g.dtype),
+        (((g.ndim - 2, g.ndim - 1), (0, 1)), ((), ())),
+        preferred_element_type=jnp.float32).astype(g.dtype)
+
+    ds_full = jnp.sum(g.astype(jnp.float32) * dot.astype(jnp.float32),
+                      axis=(-2, -1))[..., None]       # (B, N, 1)
+    ds_eff = _unbroadcast(ds_full, s_eff.shape).astype(s_eff.dtype)
+
+    lead = tuple(range(g.ndim - 2))
+    gsum = jnp.sum(g.astype(jnp.float32), axis=lead)  # (H, C)
+    dbx = jnp.einsum("hi,hij->j", gsum * col, w3).astype(bx.dtype)
+
+    # dW_qk = einsum('bnj,bnhi->hij', x2, g) (StatsQ STE) with x2
+    # recomputed from the int8 residual
+    x2 = (xi8.astype(g.dtype) * s_eff + bx.astype(g.dtype)).astype(g.dtype)
+    dw3 = jnp.einsum("...j,...hi->hij", x2, g,
+                     preferred_element_type=jnp.float32)
+    dw_qk = dw3.reshape(w_qk.shape).astype(w_qk.dtype)
+    return dxi, ds_eff, dbx, dw_qk
+
+
+int8_statsq_qkx.defvjp(_int8_statsq_qkx_fwd, _int8_statsq_qkx_bwd)
+
+
+def frozen_int8_qkx(xi, s_eff, bx, w_qk3, qk_scale, bits):
+    """Frozen-serving analog of int8_statsq_qkx (serve --int-core):
+    the layout-preserving QKR qkx dot on a DEQUANTIZED (H, C, C)
+    artifact product matrix, integer codes reconstructed from the
+    stored per-row scale `qk_scale` (H*C, 1).  Contracting the last
+    axes of (B,N,C) x (H,C,C) emits the 4-D (B,N,H,C) output in the
+    downstream chain's own layout — the flat (C, H*C) formulation
+    materialized layout copies (docs/DESIGN.md §5d).  Inference only
+    (no VJP)."""
+    H, C, _ = w_qk3.shape
+    n = float(2 ** (bits - 1))
+    col = (jnp.maximum(qk_scale.astype(jnp.float32), 1e-12)
+           .reshape(H, C) / (2.0 * n))
+    w_int = jnp.round(w_qk3.astype(jnp.float32) / col[..., None])
+    acc = jax.lax.dot_general(
+        xi.astype(jnp.int8), w_int.astype(jnp.int8),
+        (((xi.ndim - 1,), (2,)), ((), ())),
+        preferred_element_type=jnp.int32)             # (B, N, H, C)
+    dot = acc.astype(jnp.float32) * col
+    bq = jnp.einsum("j,hij->hi", bx.astype(jnp.float32), w_int) * col
+    return (dot * s_eff[..., None].astype(jnp.float32)
+            + bq).astype(xi.dtype)
+
+
 def frozen_int8_linear(xi, s_eff, bx, w_q, w_scale, bits):
     """Frozen-serving analog of int8_statsq_linear: `w_q` holds
     DEQUANTIZED StatsQ values (in, out) whose integer codes are

@@ -136,3 +136,39 @@ def test_bf16_stream_int8_matches_bf16_composed():
     got = np.asarray(int8.apply(params, x), np.float32)
     want = np.asarray(ref.apply(params, x), np.float32)
     np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
+
+
+def test_int8_statsq_qkx_matches_composed_einsum():
+    """The layout-preserving QKR qkx op: forward and every cotangent must
+    reproduce the composed `einsum('bnj,hij->bnhi', xi*s+bx, StatsQ(w))`
+    chain (StatsQ per row of the (H*C, C) product, reduce_axis=-1)."""
+    from ofq_tpu.ops.int8_qlinear import int8_statsq_qkx
+    from ofq_tpu.quant.statsq import statsq_quantize
+
+    rng = np.random.default_rng(7)
+    B, N, C, H, bits = 2, 5, 8, 2, 2
+    xi = jnp.asarray(rng.integers(-2, 2, size=(B, N, C)), jnp.float32)
+    s_eff = jnp.asarray(np.abs(rng.normal(size=(1, N, 1))) + 0.3,
+                        jnp.float32)
+    bx = jnp.asarray(rng.normal(size=(C,)) * 0.1, jnp.float32)
+    w_qk = jnp.asarray(rng.normal(size=(H * C, C)), jnp.float32)
+
+    def composed(xi, s_eff, bx, w_qk):
+        xq = xi * s_eff + bx
+        wq = statsq_quantize(w_qk, bits, reduce_axis=-1).reshape(H, C, C)
+        return jnp.einsum("bnj,hij->bnhi", xq, wq)
+
+    want = composed(xi, s_eff, bx, w_qk)
+    got = int8_statsq_qkx(xi, s_eff, bx, w_qk, bits)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def loss(f, *args):
+        return jnp.sum(jnp.sin(f(*args)))
+
+    g_ref = jax.grad(lambda *a: loss(composed, *a), argnums=(0, 1, 2, 3))(
+        xi, s_eff, bx, w_qk)
+    g_int = jax.grad(
+        lambda xi, s, b, w: loss(int8_statsq_qkx, xi, s, b, w, bits),
+        argnums=(0, 1, 2, 3))(xi, s_eff, bx, w_qk)
+    for r, i, name in zip(g_ref, g_int, ("dxi", "ds_eff", "dbx", "dw_qk")):
+        np.testing.assert_allclose(i, r, rtol=1e-4, atol=1e-5, err_msg=name)
