@@ -135,3 +135,35 @@ def test_dp_matches_single_device(eight_devices):
         _, m_dp = jax.jit(step)(state1, sbatch, jax.random.key(0))
     np.testing.assert_allclose(
         float(m_single["loss"]), float(m_dp["loss"]), rtol=1e-4)
+
+
+def test_int8_core_tp2_matches_single_device(eight_devices):
+    """The bench-headline config (--matmul-impl int8, integer-core MXU
+    dots) must shard exactly like the composed path: TP=2 x DP=4 loss ==
+    single-device loss.  QKR so the int8_statsq_qkx (H,C,C) contraction
+    is in the graph — its weight operand is TP-sharded by the Megatron
+    specs and the (B,N,C) input DP-sharded."""
+    cfg = dataclasses.replace(TINY, matmul_impl="int8")
+    pol = policy_from_args(wq_bitw=2, aq_bitw=2,
+                           qmodules=default_deit_qmodules(2),
+                           qk_reparam=True, qk_reparam_type=0)
+    model = VisionTransformer(cfg=cfg, policy=pol)
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(8, 32, 32, 3)),
+                    jnp.float32)
+    params = model.init({"params": jax.random.key(0)}, x)
+    tx = make_optimizer(lambda _: 1e-3)
+    batch = {"image": x, "label": jnp.arange(8) % 10}
+    step = make_train_step(model, tx, loss_kind="ce")
+
+    state0 = TrainState.create(params, tx)
+    _, m_single = jax.jit(step)(state0, batch, jax.random.key(0))
+
+    mesh = make_mesh(8, model_parallel=2)
+    with jax.set_mesh(mesh):
+        sp = {"params": shard_params(params["params"], mesh)}
+        state1 = jax.jit(lambda p: TrainState.create(p, tx))(sp)
+        bs = batch_shardings(mesh)
+        sbatch = {k: jax.device_put(v, bs[k]) for k, v in batch.items()}
+        _, m_tp = jax.jit(step)(state1, sbatch, jax.random.key(0))
+    np.testing.assert_allclose(
+        float(m_single["loss"]), float(m_tp["loss"]), rtol=1e-4)
