@@ -21,9 +21,12 @@ TINY = DeiTConfig(img_size=16, patch_size=8, embed_dim=24, depth=2,
 
 
 def _overfit(policy, loss_kind="ce", steps=40, cga=None, teacher=None,
-             tparams=None, lr=5e-3, compute_dtype=None):
-    cfg = (dataclasses.replace(TINY, compute_dtype=compute_dtype)
-           if compute_dtype else TINY)
+             tparams=None, lr=5e-3, compute_dtype=None, matmul_impl=None):
+    cfg = TINY
+    if compute_dtype:
+        cfg = dataclasses.replace(cfg, compute_dtype=compute_dtype)
+    if matmul_impl:
+        cfg = dataclasses.replace(cfg, matmul_impl=matmul_impl)
     model = VisionTransformer(cfg=cfg, policy=policy)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(8, 16, 16, 3)), jnp.float32)
@@ -76,6 +79,27 @@ class TestOverfit:
         ref = _overfit(pol)
         # same order of magnitude of progress as fp32 (not bit-identical)
         assert losses[-1] < 2.0 * ref[-1] + 0.1, (losses[-1], ref[-1])
+
+    def test_int8_core_tracks_composed(self):
+        # the bench-headline config (--matmul-impl int8): identical
+        # quantization decisions with EXACT int32 dot accumulation, so
+        # the fp32 loss trajectory must track the composed path tightly
+        # step for step (the only difference is the composed dots' own
+        # fp32 summation rounding)
+        pol = policy_from_args(wq_bitw=2, aq_bitw=2,
+                               qmodules=default_deit_qmodules(2),
+                               qk_reparam=True)
+        losses = _overfit(pol, matmul_impl="int8")
+        assert losses[-1] < 0.5 * losses[0], losses[::8]
+        ref = _overfit(pol)
+        # early trajectory: tight agreement.  As training progresses the
+        # ulp-level dot differences flip individual STE rounding
+        # decisions and the runs decorrelate (measured: first drift >8%
+        # appears ~step 15 — same behavior as any reordered summation);
+        # assert both land in the same converged band instead.
+        np.testing.assert_allclose(losses[:10], ref[:10],
+                                   rtol=0.08, atol=0.02)
+        assert abs(losses[-1] - ref[-1]) < 0.1, (losses[-1], ref[-1])
 
     def test_kd_learns(self):
         pol = policy_from_args(wq_bitw=3, aq_bitw=3,
