@@ -152,8 +152,13 @@ def main():
     res["mfu"] = {
         "deit_s_bf16": round(res["deit_s_bf16"]
                              * deit_step_flops(batch=128).total / 234e3, 4),
+        "deit_s_int8": round(res["deit_s_int8"]
+                             * deit_step_flops(batch=128).total / 234e3, 4),
         "swin_t_bf16_B64": round(
             res["swin_t_bf16_B64"]
+            * swin_t_step_flops(batch=64).total / 234e3, 4),
+        "swin_t_int8_B64": round(
+            res["swin_t_int8_B64"]
             * swin_t_step_flops(batch=64).total / 234e3, 4),
     }
     path = os.path.join(os.path.dirname(__file__),
