@@ -136,10 +136,20 @@ def measure(matmul_impl=None, compute_dtype=None, iters=ITERS,
 def main():
     gflops = step_gflops_per_img()
     # headline: bf16 stream + integer-core MXU matmuls (exact int32
-    # accumulation — faster than and numerically superior to bf16 dots)
-    imgs_per_sec = measure(matmul_impl="int8", compute_dtype="bfloat16")
-    mfu = (imgs_per_sec * gflops / 1e3) / MEASURED_PEAK_TFLOPS
+    # accumulation — faster than and numerically superior to bf16 dots).
+    # Guarded: if the int8 compile ever hits the untriaged DeiT-B-style
+    # hang on a changed environment, fall back to the XLA bf16 path so
+    # the bench always prints a real number.
+    config = "bf16 stream (fp32 masters), int8 MXU cores " \
+             "(--matmul-impl int8), B=128"
     secondary = {}
+    try:
+        imgs_per_sec = measure(matmul_impl="int8", compute_dtype="bfloat16")
+    except Exception as e:  # pragma: no cover - smoke guard
+        secondary["int8_error"] = f"{e}"
+        config = "bf16 stream (fp32 masters), XLA dots (int8 FAILED), B=128"
+        imgs_per_sec = measure(compute_dtype="bfloat16")
+    mfu = (imgs_per_sec * gflops / 1e3) / MEASURED_PEAK_TFLOPS
     # bf16 speed path with plain XLA dots (the round-2/3 headline)
     try:
         secondary["xla_bf16_imgs_per_sec"] = round(
@@ -183,8 +193,7 @@ def main():
         "vs_baseline": round(imgs_per_sec / A100_ESTIMATE_IMGS_PER_SEC, 3),
         "imgs_per_sec_per_chip": round(imgs_per_sec, 2),
         "step_gflops_per_img": round(gflops, 2),
-        "config": "bf16 stream (fp32 masters), int8 MXU cores "
-                  "(--matmul-impl int8), B=128",
+        "config": config,
         "secondary": secondary,
     }))
 

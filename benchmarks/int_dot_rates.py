@@ -68,9 +68,13 @@ def main():
               ("bench_qlinear", 128 * 198, 384, 384)]
     for tag, m, k, n in shapes:
         out = {"shape": f"{m}x{k}x{n}"}
-        for name, dt in (("bf16", jnp.bfloat16), ("int8", jnp.int8),
-                         ("int4", jnp.int4)):
+        # dtypes resolved by name INSIDE the guard: jnp.int4 may not
+        # exist at all on some JAX builds, and the probe must still
+        # record the bf16/int8 rates it exists to measure
+        for name, attr in (("bf16", "bfloat16"), ("int8", "int8"),
+                           ("int4", "int4")):
             try:
+                dt = getattr(jnp, attr)
                 out[name + "_tflops"] = round(
                     pipelined_dot_rate(dt, m, k, n, a.iters), 1)
             except Exception as e:  # pragma: no cover

@@ -58,6 +58,9 @@ def build(variant: str, batch: int, dtype: str = None, attn_impl=None):
     # workload (BASELINE config 4); bare "swin_bf16" keeps its old meaning
     is_swin = variant.startswith("swin")
     sub = variant[5:] if variant.startswith("swin_") else variant
+    # "int8" composes with every sub-variant (int8_noteacher, int8_fwd,
+    # ...): strip the token so the equality-matched subs still hit
+    sub = "_".join(t for t in sub.split("_") if t != "int8") or "full"
     quantized = sub != "fp"
     compute_dtype = dtype if dtype else ("bf16" in variant and "bfloat16" or None)
     model_name = "swin_t" if is_swin else "deit_small_distilled_patch16_224"

@@ -180,8 +180,7 @@ def qkr_quant_chain(mod, x):
         # axes of (B,N,C) x (H,C,C) directly to the 4-D layout this
         # chain runs on — the flat (B,N,H*C) formulation forced XLA
         # layout copies (+13 ms/step, docs/DESIGN.md §5d)
-        qkx = int8_statsq_qkx(
-            xi, s_eff, bx, w_qk.reshape(H * C, C), mod.weight_bits)
+        qkx = int8_statsq_qkx(xi, s_eff, bx, w_qk, mod.weight_bits)
     else:
         qkx = jnp.einsum("bnj,hij->bnhi", xq, w_qk)  # (B, N, H, C)
     qkx = LearnableBias(H * C, apply_shape=(H, C),

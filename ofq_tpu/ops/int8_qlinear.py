@@ -46,14 +46,18 @@ def _act_int(x1, s_eff, bit, all_positive):
     return jnp.round(jnp.clip(u, thd_neg, thd_pos))
 
 
-def _weight_int(kernel, bits):
-    """Odd integer StatsQ codes W_int = 2k+1 and the column scale s_w.
-    Same jnp op sequence as statsq_quantize (deploy.py's 1-ulp lesson)."""
+def _weight_int(kernel, bits, reduce_axis=0):
+    """Odd integer StatsQ codes W_int = 2k+1 and the scale s_w.
+    Same jnp op sequence as statsq_quantize (deploy.py's 1-ulp lesson) —
+    the ONE derivation both the (in, out) QLinear kernels
+    (reduce_axis=0, scale flattened to (out,)) and the (H*C, C) QKR
+    product (reduce_axis=-1, per-row scale kept 2-D) share."""
     n = float(2 ** (bits - 1))
-    s_w = statsq_scale(kernel, reduce_axis=0)         # (1, out)
+    s_w = statsq_scale(kernel, reduce_axis=reduce_axis)
     clipped = jnp.clip(kernel / s_w, -1.0, 1.0 - _CLIP_HI_EPS)
     k = jnp.round(clipped * n - 0.5)                  # [-n, n-1]
-    return 2.0 * k + 1.0, s_w.reshape(-1)             # W_int, (out,)
+    w_int = 2.0 * k + 1.0
+    return (w_int, s_w.reshape(-1)) if reduce_axis == 0 else (w_int, s_w)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
@@ -243,17 +247,6 @@ def _int8_statsq_linear_bwd(w_bits, res, g):
 int8_statsq_linear.defvjp(_int8_statsq_linear_fwd, _int8_statsq_linear_bwd)
 
 
-def _weight_int_rows(w_qk, bits):
-    """Odd integer codes of the (H*C, C) QKR product matrix, StatsQ
-    per ROW (reduce_axis=-1 — the composed statsq_quantize orientation
-    for W_qk, reference attention.py:190-196)."""
-    n = float(2 ** (bits - 1))
-    s_w = statsq_scale(w_qk, reduce_axis=-1)          # (H*C, 1)
-    clipped = jnp.clip(w_qk / s_w, -1.0, 1.0 - _CLIP_HI_EPS)
-    k = jnp.round(clipped * n - 0.5)
-    return 2.0 * k + 1.0, s_w
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def int8_statsq_qkx(xi, s_eff, bx, w_qk, w_bits):
     """`einsum('bnj,hij->bnhi', xi*s_eff + bx, StatsQ(w_qk))` with int8
@@ -267,9 +260,11 @@ def int8_statsq_qkx(xi, s_eff, bx, w_qk, w_bits):
     workload).  Contracting the last axes of (B,N,C) x (H,C,C) directly
     emits the einsum's own layout; no copies.
 
-    `w_qk` is the raw (H*C, C) per-head product matrix; its StatsQ
-    scale/codes are derived per row (reduce_axis=-1), exactly matching
-    the composed `statsq_quantize(w_qk, bits, reduce_axis=-1)`.
+    `w_qk` is the raw (H, C, C) per-head product tensor — the SAME
+    shape its frozen-serving analog `frozen_int8_qkx` takes.  StatsQ
+    scale/codes are derived per row of its flat (H*C, C) view
+    (reduce_axis=-1), exactly matching the composed
+    `statsq_quantize(w_qk.reshape(H*C, C), bits, reduce_axis=-1)`.
     `s_eff` is the per-token LSQ scale broadcast over the (B,N,C) input
     (constant along C, so it factors out of the contraction).  Cotangent
     algebra mirrors int8_statsq_linear with the einsum axes."""
@@ -277,18 +272,21 @@ def int8_statsq_qkx(xi, s_eff, bx, w_qk, w_bits):
     return y
 
 
-def _qkx_parts(xi, w_qk, w_bits):
-    C = xi.shape[-1]
-    H = w_qk.shape[0] // C
+def _qkx_parts(w_qk3, w_bits):
+    H, C, _ = w_qk3.shape
     n = float(2 ** (w_bits - 1))
-    w_int, s_w = _weight_int_rows(w_qk.astype(jnp.float32), w_bits)
+    # derive on the flat (H*C, C) view — the exact op sequence of the
+    # composed path (free reshape; rows are the (h, i) pairs)
+    w_int, s_w = _weight_int(
+        w_qk3.astype(jnp.float32).reshape(H * C, C), w_bits,
+        reduce_axis=-1)
     w3 = w_int.reshape(H, C, C)                       # (h, i, j)
     col = (s_w / (2.0 * n)).reshape(H, C)             # f32 (h, i)
     return w3, col
 
 
 def _int8_statsq_qkx_fwd(xi, s_eff, bx, w_qk, w_bits):
-    w3, col = _qkx_parts(xi, w_qk, w_bits)
+    w3, col = _qkx_parts(w_qk, w_bits)
     acc = jax.lax.dot_general(
         xi.astype(jnp.int8), w3.astype(jnp.int8),
         (((xi.ndim - 1,), (2,)), ((), ())),
@@ -302,7 +300,7 @@ def _int8_statsq_qkx_fwd(xi, s_eff, bx, w_qk, w_bits):
 
 def _int8_statsq_qkx_bwd(w_bits, res, g):
     xi8, s_eff, bx, w_qk, dot = res
-    w3, col = _qkx_parts(xi8, w_qk, w_bits)
+    w3, col = _qkx_parts(w_qk, w_bits)
 
     # dxi = einsum('bnhi,hij->bnj', g*s_eff*w_q) — stream-dtype dot with
     # fp32 accumulation, the dequant column scale folded into the lhs
@@ -324,9 +322,9 @@ def _int8_statsq_qkx_bwd(w_bits, res, g):
     # dW_qk = einsum('bnj,bnhi->hij', x2, g) (StatsQ STE) with x2
     # recomputed from the int8 residual
     x2 = (xi8.astype(g.dtype) * s_eff + bx.astype(g.dtype)).astype(g.dtype)
-    dw3 = jnp.einsum("...j,...hi->hij", x2, g,
-                     preferred_element_type=jnp.float32)
-    dw_qk = dw3.reshape(w_qk.shape).astype(w_qk.dtype)
+    dw_qk = jnp.einsum("...j,...hi->hij", x2, g,
+                       preferred_element_type=jnp.float32
+                       ).astype(w_qk.dtype)
     return dxi, ds_eff, dbx, dw_qk
 
 

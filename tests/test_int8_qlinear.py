@@ -155,9 +155,11 @@ def test_int8_statsq_qkx_matches_composed_einsum():
 
     def composed(xi, s_eff, bx, w_qk):
         xq = xi * s_eff + bx
-        wq = statsq_quantize(w_qk, bits, reduce_axis=-1).reshape(H, C, C)
+        wq = statsq_quantize(
+            w_qk.reshape(H * C, C), bits, reduce_axis=-1).reshape(H, C, C)
         return jnp.einsum("bnj,hij->bnhi", xq, wq)
 
+    w_qk = w_qk.reshape(H, C, C)  # the op takes the per-head tensor
     want = composed(xi, s_eff, bx, w_qk)
     got = int8_statsq_qkx(xi, s_eff, bx, w_qk, bits)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
