@@ -133,13 +133,43 @@ def measure(matmul_impl=None, compute_dtype=None, iters=ITERS,
     return batch * iters / min(times)
 
 
+def wait_for_backend(attempts=6, probe_timeout=90, sleep_s=30):
+    """Fail loudly instead of hanging when the axon tunnel is down.
+
+    Backend init happens on first device use; when the tunnel is broken
+    even `jax.devices()` blocks forever (observed 2026-08-17), which
+    would hang the driver's bench run with no diagnostic.  Probe device
+    init in a subprocess with a hard timeout, retrying for a few
+    minutes in case the outage is transient."""
+    import subprocess
+
+    for i in range(attempts):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0].platform)"],
+                capture_output=True, text=True, timeout=probe_timeout)
+            if out.returncode == 0:
+                return out.stdout.strip().splitlines()[-1]
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"bench: backend probe {i + 1}/{attempts} hung/failed; "
+              f"retrying in {sleep_s}s", file=sys.stderr, flush=True)
+        time.sleep(sleep_s)
+    print("bench: device backend unreachable (tunnel down?) — refusing "
+          "to hang; no measurement was taken", file=sys.stderr, flush=True)
+    sys.exit(3)
+
+
 def main():
+    platform = wait_for_backend()
+    print(f"bench: backend up ({platform})", file=sys.stderr, flush=True)
     gflops = step_gflops_per_img()
     # headline: bf16 stream + integer-core MXU matmuls (exact int32
     # accumulation — faster than and numerically superior to bf16 dots).
-    # Guarded: if the int8 compile ever hits the untriaged DeiT-B-style
-    # hang on a changed environment, fall back to the XLA bf16 path so
-    # the bench always prints a real number.
+    # Guarded: if the int8 measurement ever fails on a changed
+    # environment, fall back to the XLA bf16 path so the bench always
+    # prints a real number.
     config = "bf16 stream (fp32 masters), int8 MXU cores " \
              "(--matmul-impl int8), B=128"
     secondary = {}
@@ -161,9 +191,14 @@ def main():
     # the other recipe families, measured on the same chip (BASELINE
     # configs 4 / DeiT-B reach check): short runs, same step anatomy.
     # Swin uses the int8 headline config (fastest: 519 vs 494 at B64);
-    # DeiT-B stays on bf16 XLA dots — its int8 compile did not finish
-    # within 23 min through the tunnel (untriaged: tunnel hang vs a
-    # 768-width int8-fusion compile pathology)
+    # DeiT-B stays on bf16 XLA dots — its int8 run once failed to finish
+    # within 23 min through the tunnel.  Triaged 2026-08-17: the same
+    # DeiT-B int8 step compiles AND runs fine on local CPU XLA, and the
+    # tunnel was later observed hanging wholesale (even jax.devices()),
+    # so the stall was the tunnel, not a 768-width compile pathology.
+    # Kept on XLA dots anyway: one bench run budget doesn't fit re-paying
+    # DeiT-B's int8 compile, and the headline lever is already proven on
+    # DeiT-S/Swin.
     for key, impl, mdl, b in (
             ("swin_t_imgs_per_sec", "int8", "swin_t", 64),
             ("deit_b_imgs_per_sec", None,
