@@ -74,10 +74,13 @@ def build(matmul_impl=None, compute_dtype=None, batch=BATCH,
     policy = policy_from_args(
         wq_bitw=2, aq_bitw=2, qmodules=qmods,
         qk_reparam=True, qk_reparam_type=0)
+    # recipe parity (matches benchmarks/step_anatomy.py): the published
+    # Swin-T QAT recipe trains with drop_path 0.0
+    extra = {"drop_path_rate": 0.0} if model.startswith("swin") else {}
     student = create_model(model, policy=policy,
                            matmul_impl=matmul_impl,
-                           compute_dtype=compute_dtype)
-    teacher = create_model(model, compute_dtype=compute_dtype)
+                           compute_dtype=compute_dtype, **extra)
+    teacher = create_model(model, compute_dtype=compute_dtype, **extra)
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(batch, 224, 224, 3)), jnp.float32)
@@ -175,17 +178,24 @@ def main():
     secondary = {}
     try:
         imgs_per_sec = measure(matmul_impl="int8", compute_dtype="bfloat16")
+        int8_ok = True
     except Exception as e:  # pragma: no cover - smoke guard
         secondary["int8_error"] = f"{e}"
         config = "bf16 stream (fp32 masters), XLA dots (int8 FAILED), B=128"
         imgs_per_sec = measure(compute_dtype="bfloat16")
+        int8_ok = False
     mfu = (imgs_per_sec * gflops / 1e3) / MEASURED_PEAK_TFLOPS
-    # bf16 speed path with plain XLA dots (the round-2/3 headline)
-    try:
-        secondary["xla_bf16_imgs_per_sec"] = round(
-            measure(compute_dtype="bfloat16", iters=5, rounds=2), 1)
-    except Exception as e:  # pragma: no cover - smoke guard
-        secondary["xla_bf16_imgs_per_sec"] = f"ERROR: {e}"
+    # bf16 speed path with plain XLA dots (the round-2/3 headline);
+    # when the int8 headline already fell back to this exact config,
+    # reuse that measurement instead of paying the build again
+    if not int8_ok:
+        secondary["xla_bf16_imgs_per_sec"] = round(imgs_per_sec, 1)
+    else:
+        try:
+            secondary["xla_bf16_imgs_per_sec"] = round(
+                measure(compute_dtype="bfloat16", iters=5, rounds=2), 1)
+        except Exception as e:  # pragma: no cover - smoke guard
+            secondary["xla_bf16_imgs_per_sec"] = f"ERROR: {e}"
     # bit-faithful fp32 reference path
     secondary["fp32_imgs_per_sec"] = round(measure(iters=5, rounds=2), 1)
     # the other recipe families, measured on the same chip (BASELINE

@@ -58,9 +58,11 @@ def build(variant: str, batch: int, dtype: str = None, attn_impl=None):
     # workload (BASELINE config 4); bare "swin_bf16" keeps its old meaning
     is_swin = variant.startswith("swin")
     sub = variant[5:] if variant.startswith("swin_") else variant
-    # "int8" composes with every sub-variant (int8_noteacher, int8_fwd,
-    # ...): strip the token so the equality-matched subs still hit
-    sub = "_".join(t for t in sub.split("_") if t != "int8") or "full"
+    # "int8" and "remat[stages]" compose with every sub-variant
+    # (int8_noteacher, remat_int8, ...): strip the tokens so the
+    # equality-matched subs still hit
+    sub = "_".join(t for t in sub.split("_")
+                   if t != "int8" and not t.startswith("remat")) or "full"
     quantized = sub != "fp"
     compute_dtype = dtype if dtype else ("bf16" in variant and "bfloat16" or None)
     model_name = "swin_t" if is_swin else "deit_small_distilled_patch16_224"
@@ -78,9 +80,11 @@ def build(variant: str, batch: int, dtype: str = None, attn_impl=None):
         # drop_path 0.0 (reference configs/swin_t_imagenet.attn_q.yml:43,
         # mirrored in configs/swin_imagenet_qat.yml)
         extra = {"drop_path_rate": 0.0}
-        if "remat" in variant:
-            # "swin_bf16_remat" -> stages (0, 1); "swin_bf16_remat0" -> (0,)
-            tail = variant.split("remat", 1)[1]
+        # "swin_bf16_remat" -> stages (0, 1); "swin_bf16_remat0" -> (0,)
+        remat_tok = next((t for t in variant.split("_")
+                          if t.startswith("remat")), None)
+        if remat_tok is not None:
+            tail = remat_tok[len("remat"):]
             extra["remat_stages"] = (tuple(int(c) for c in tail)
                                      if tail else (0, 1))
     else:

@@ -325,6 +325,15 @@ def main():
         except Exception as e:  # pragma: no cover
             out[name] = f"ERROR: {type(e).__name__}: {e}"[:160]
         print(json.dumps({name: out[name]}), flush=True)
+    if args.check:
+        # bf16 packing vs bf16 XLA tail: worst observed honest error is
+        # ~2e-2 on the f32-compared outputs; anything beyond is a layout
+        # bug, and --check must FAIL, not just print
+        bad = {k_: v_ for k_, v_ in out.items()
+               if k_.endswith("_maxerr") and not v_ < 5e-2}
+        if bad:
+            print(json.dumps({"check_failed": bad}), flush=True)
+            raise SystemExit(4)
     return out
 
 

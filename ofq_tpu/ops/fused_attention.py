@@ -57,17 +57,22 @@ def _units(x):
     return x.transpose(0, 2, 1, 3).reshape((WB * H, N) + x.shape[3:])
 
 
+def _lhs_units(lhs, H):
+    """lhs (WB,N,K) shared-across-heads or (WB,N,H,K) -> (WB*H, N, K)
+    in the same (wb, h) unit order as _units — the ONE place the
+    shared-lhs head broadcast lives (fwd and bwd must agree on it)."""
+    if lhs.ndim == 3:
+        WB, N, K = lhs.shape
+        return jnp.broadcast_to(
+            lhs[:, None], (WB, H, N, K)).reshape(WB * H, N, K)
+    return _units(lhs)
+
+
 def _unit_scores(lhs, rhs, H, sm_scale):
     """lhs (WB,N,K) shared-across-heads or (WB,N,H,K); rhs (WB,N,H,K)
     -> (WB*H, N, M) f32 attention logits."""
-    WB, N = rhs.shape[0], rhs.shape[1]
-    K = rhs.shape[-1]
     rhs_u = _units(rhs)  # (U, M, K)
-    if lhs.ndim == 3:
-        lhs_u = jnp.broadcast_to(
-            lhs[:, None], (WB, H, N, K)).reshape(WB * H, N, K)
-    else:
-        lhs_u = _units(lhs)
+    lhs_u = _lhs_units(lhs, H)
     return jax.lax.dot_general(
         lhs_u, rhs_u, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32) * sm_scale  # (U, N, M)
@@ -149,11 +154,7 @@ def _bwd_kernel(lhs_ref, rhs_ref, v_ref, s_ref, g_ref,
     dscores = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
     dscores = (dscores * sm_scale).astype(rhs.dtype)  # (U, N, M)
     # d_rhs[u] = dscores_u^T @ lhs_u ; d_lhs[u] = dscores_u @ rhs_u
-    if lhs.ndim == 3:
-        lhs_u = jnp.broadcast_to(
-            lhs[:, None], (WB, H, N, K)).reshape(WB * H, N, K)
-    else:
-        lhs_u = _units(lhs)
+    lhs_u = _lhs_units(lhs, H)
     drhs = jax.lax.dot_general(
         dscores, lhs_u.astype(dscores.dtype), (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)  # (U, M, K)
