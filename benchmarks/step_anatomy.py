@@ -22,6 +22,10 @@ Variants:
   *int8*      — any variant containing "int8" (e.g. int8_bf16,
                 swin_int8_bf16) runs with --matmul-impl int8 (the
                 integer-core MXU path, docs/DESIGN.md §5d)
+  *remat[s]*  — any Swin variant containing a "remat" token wraps stage
+                blocks in jax.checkpoint (swin_bf16_remat = stages
+                (0, 1); swin_bf16_remat0 = (0,)); composes with any
+                sub-variant like "int8" does
 
 Usage:  python benchmarks/step_anatomy.py [--variants full,bf16,...]
                                           [--batch 128] [--iters 10]
@@ -47,6 +51,27 @@ ITERS = 10
 ROUNDS = 3
 
 
+def parse_variant(variant: str):
+    """Decompose a variant name into (is_swin, sub, remat_stages).
+
+    "swin_" selects the Swin-T workload; "int8" and "remat[stages]"
+    compose with every sub-variant (int8_noteacher, swin_fwd_remat, ...)
+    and are stripped so the equality-matched subs still hit; what's left
+    is the anatomy sub-variant ("full" if nothing remains)."""
+    is_swin = variant.startswith("swin")
+    sub = variant[5:] if variant.startswith("swin_") else variant
+    sub = "_".join(t for t in sub.split("_")
+                   if t != "int8" and not t.startswith("remat")) or "full"
+    # "swin_bf16_remat" -> stages (0, 1); "swin_bf16_remat0" -> (0,)
+    remat_tok = next((t for t in variant.split("_")
+                      if t.startswith("remat")), None)
+    remat_stages = None
+    if remat_tok is not None:
+        tail = remat_tok[len("remat"):]
+        remat_stages = tuple(int(c) for c in tail) if tail else (0, 1)
+    return is_swin, sub, remat_stages
+
+
 def build(variant: str, batch: int, dtype: str = None, attn_impl=None):
     from ofq_tpu.models import create_model
     from ofq_tpu.quant import (default_deit_qmodules, default_swin_qmodules,
@@ -56,13 +81,7 @@ def build(variant: str, batch: int, dtype: str = None, attn_impl=None):
 
     # "swin_<sub>" runs the same anatomy sub-variant on the Swin-T W2A2
     # workload (BASELINE config 4); bare "swin_bf16" keeps its old meaning
-    is_swin = variant.startswith("swin")
-    sub = variant[5:] if variant.startswith("swin_") else variant
-    # "int8" and "remat[stages]" compose with every sub-variant
-    # (int8_noteacher, remat_int8, ...): strip the tokens so the
-    # equality-matched subs still hit
-    sub = "_".join(t for t in sub.split("_")
-                   if t != "int8" and not t.startswith("remat")) or "full"
+    is_swin, sub, remat_stages = parse_variant(variant)
     quantized = sub != "fp"
     compute_dtype = dtype if dtype else ("bf16" in variant and "bfloat16" or None)
     model_name = "swin_t" if is_swin else "deit_small_distilled_patch16_224"
@@ -80,13 +99,8 @@ def build(variant: str, batch: int, dtype: str = None, attn_impl=None):
         # drop_path 0.0 (reference configs/swin_t_imagenet.attn_q.yml:43,
         # mirrored in configs/swin_imagenet_qat.yml)
         extra = {"drop_path_rate": 0.0}
-        # "swin_bf16_remat" -> stages (0, 1); "swin_bf16_remat0" -> (0,)
-        remat_tok = next((t for t in variant.split("_")
-                          if t.startswith("remat")), None)
-        if remat_tok is not None:
-            tail = remat_tok[len("remat"):]
-            extra["remat_stages"] = (tuple(int(c) for c in tail)
-                                     if tail else (0, 1))
+        if remat_stages is not None:
+            extra["remat_stages"] = remat_stages
     else:
         extra = {"attn_impl": attn_impl}  # DeiT-only knob
     if "int8" in variant:
