@@ -136,14 +136,15 @@ def measure(matmul_impl=None, compute_dtype=None, iters=ITERS,
     return batch * iters / min(times)
 
 
-def wait_for_backend(attempts=6, probe_timeout=90, sleep_s=30):
+def wait_for_backend(attempts=12, probe_timeout=90, sleep_s=60):
     """Fail loudly instead of hanging when the axon tunnel is down.
 
     Backend init happens on first device use; when the tunnel is broken
     even `jax.devices()` blocks forever (observed 2026-08-17), which
     would hang the driver's bench run with no diagnostic.  Probe device
-    init in a subprocess with a hard timeout, retrying for a few
-    minutes in case the outage is transient."""
+    init in a subprocess with a hard timeout, retrying for ~30 min in
+    case the outage is transient (observed outages last hours, but a
+    bounded loud failure beats an unbounded silent hang either way)."""
     import subprocess
 
     for i in range(attempts):
