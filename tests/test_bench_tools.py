@@ -34,3 +34,12 @@ from step_anatomy import parse_variant  # noqa: E402
 ])
 def test_parse_variant(variant, want):
     assert parse_variant(variant) == want
+
+
+def test_wait_for_backend_probes_cpu():
+    """The bench backend probe must succeed quickly on a healthy backend
+    (the failure path was exercised live against a hung tunnel: exit 3)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import bench
+
+    assert bench.wait_for_backend(attempts=1, probe_timeout=120) == "cpu"
