@@ -5,13 +5,17 @@
 # Runs on one chip in ~15-25 min (compile-dominated at toy scale).
 #
 # Usage: bash examples/three_phase_shapes.sh [OUT_DIR] [DATA_DIR]
+#   EXTRA="--matmul-impl int8" runs the same recipe with extra flags on
+#   every phase (e.g. the integer-core headline config).
 set -euo pipefail
 OUT=${1:-/tmp/three_phase}
 DATA=${2:-/tmp/shapes}
+read -r -a EXTRA_ARGS <<< "${EXTRA:-}"
 COMMON=(--img-size 64 --num-classes 3 --batch-size 32 --steps-per-epoch 14
         --mixup 0.0 --cutmix 0.0 --aa "" --reprob 0.0 --smoothing 0.0
         --model deit_test_distilled --compute-dtype bfloat16
-        --cooldown-epochs 0 --output "$OUT")
+        --cooldown-epochs 0 --output "$OUT"
+        ${EXTRA_ARGS[@]+"${EXTRA_ARGS[@]}"})
 
 [ -d "$DATA/train" ] || python examples/make_shapes_dataset.py "$DATA"
 
