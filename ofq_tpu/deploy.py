@@ -12,7 +12,8 @@ This module freezes that representation into a compact artifact:
   * QKR q/k kernels -> the quantized per-head product W_qk (the tensor the
     forward actually consumes, reference attention.py:190-196), stored as
     codes under `w_qk_frozen`; q/k kernels are dropped.
-  * LSQ-weight layers (W8 head / patch embed) -> int codes with their
+  * LSQ-weight layers (W8 head / patch embed, and every block kernel
+    under the full-LSQ `--wq-mode lsq` path) -> int codes with their
     learned scale.  These are idempotent under re-quantization (the scale
     is a stored parameter), so the model path is unchanged.
   * everything else (biases, LSQ activation scales, norms, embeddings)
@@ -85,24 +86,33 @@ def _statsq_decode(codes: np.ndarray, s: np.ndarray, bits: int) -> np.ndarray:
     return (s * ((k + 0.5) / n)).astype(np.float32)
 
 
-def _lsq_encode(w: np.ndarray, s: np.ndarray, bits: int, axis: int):
+def _lsq_encode(w: np.ndarray, s: np.ndarray, bits: int, axis: int,
+                all_positive: bool = False):
     """LSQ weight codes with the LEARNED scale (kept as its own param).
-    jnp ops mirror lsq_quantize exactly (see _statsq_encode on why)."""
+    jnp ops mirror lsq_quantize exactly (see _statsq_encode on why).
+    all_positive selects the unsigned [0, 2^b-1] range (--wq_asym,
+    reference lsq.py:24-31); a size-1 scale broadcasts per-tensor
+    (matching _broadcast_scale in quant/lsq.py)."""
     import jax.numpy as jnp
 
-    shape = [1] * w.ndim
-    shape[axis] = s.shape[0]
-    sb = jnp.maximum(jnp.asarray(s, jnp.float32).reshape(shape), 1e-5)
-    thd = 2 ** (bits - 1)
+    s = np.asarray(s)
+    if s.size == 1:
+        sb = jnp.maximum(jnp.asarray(s, jnp.float32).reshape(()), 1e-5)
+    else:
+        shape = [1] * w.ndim
+        shape[axis] = s.shape[0]
+        sb = jnp.maximum(jnp.asarray(s, jnp.float32).reshape(shape), 1e-5)
+    thd_neg, thd_pos = ((0, 2 ** bits - 1) if all_positive
+                        else (-(2 ** (bits - 1)), 2 ** (bits - 1) - 1))
     k = jnp.round(jnp.clip(jnp.asarray(w, jnp.float32) / sb,
-                           -thd, thd - 1))
-    return ((np.asarray(k) + thd).astype(np.uint8),
+                           thd_neg, thd_pos))
+    return ((np.asarray(k) - thd_neg).astype(np.uint8),
             np.asarray(sb, np.float32))
 
 
-def _lsq_decode(codes, sb, bits):
-    thd = 2 ** (bits - 1)
-    return (sb * (codes.astype(np.float32) - thd)).astype(np.float32)
+def _lsq_decode(codes, sb, bits, all_positive: bool = False):
+    thd_neg = 0 if all_positive else -(2 ** (bits - 1))
+    return (sb * (codes.astype(np.float32) + thd_neg)).astype(np.float32)
 
 
 def _walk(tree, prefix=()):
@@ -122,7 +132,8 @@ def _set(tree, path, value):
 
 def export_packed(params: dict, *, weight_bits: int, qk_reparam: bool,
                   num_heads: Optional[int] = None,
-                  head_dim: int = 64) -> dict:
+                  head_dim: int = 64, wq_mode: str = "statsq",
+                  wq_asym: bool = False) -> dict:
     """Pack a trained param tree (the 'params' collection) into integer
     codes + scales + passthrough floats.  Returns a flat dict suitable for
     np.savez; `restore_packed` inverts it."""
@@ -136,7 +147,7 @@ def export_packed(params: dict, *, weight_bits: int, qk_reparam: bool,
                          f"{weight_bits}")
     out = {}
     meta = {"weight_bits": weight_bits, "qk_reparam": qk_reparam,
-            "entries": {}}
+            "wq_mode": wq_mode, "entries": {}}
     params = {k: np.asarray(v) if not isinstance(v, dict) else v
               for k, v in params.items()}
     flat = list(_walk(params))
@@ -175,9 +186,28 @@ def export_packed(params: dict, *, weight_bits: int, qk_reparam: bool,
             codes, s = _statsq_encode(w, weight_bits, reduce_axis=0)
         elif (leaf == "kernel" and parent in _STATSQ_PARENTS
                 and _is_lsq_sibling(names, path)):
-            raise NotImplementedError(
-                "packed export of full-LSQ weight blocks (--wq-mode lsq) "
-                "is not supported yet; only the shipped StatsQ recipes")
+            # full-LSQ block (--wq-mode lsq): the kernel's quantizer is an
+            # LsqWeight with a LEARNED scale, so pack at weight_bits with
+            # that scale.  Dequantized kernels are idempotent under
+            # re-quantization AND the frozen policy (weight_bits=32) skips
+            # the quantizer entirely — either path reproduces the trained
+            # fake-quant values exactly.
+            if wq_mode != "lsq":
+                raise ValueError(
+                    f"param tree has an LSQ weight scale under {key} but "
+                    f"wq_mode={wq_mode!r}; pass wq_mode='lsq' (and wq_asym "
+                    f"for --wq_asym runs) so codes use the learned scale "
+                    f"at the right range")
+            s_param = np.asarray(_lsq_weight_scale(names, path))
+            codes, sb = _lsq_encode(w, s_param, weight_bits, axis=-1,
+                                    all_positive=wq_asym)
+            out[key + ".codes"] = pack_codes(codes, weight_bits)
+            out[key + ".scale"] = sb
+            meta["entries"][key] = {
+                "kind": "lsq", "bits": weight_bits,
+                "all_positive": wq_asym, "shape": list(w.shape),
+                "enc_shape": list(w.shape)}
+            continue
         elif (leaf == "kernel" and parent in _STATSQ_PARENTS
                 and _in_quantized_module(names, path)):
             # StatsQ'd QLinear kernels; float Dense kernels in unquantized
@@ -256,7 +286,9 @@ def restore_packed(exported: dict, *, int_core: bool = False) -> dict:
                     _set(tree, path[:-1] + (path[-1] + "_scale",),
                          np.asarray(s, np.float32))
         else:
-            w = _lsq_decode(codes, s, bits).reshape(info["shape"])
+            w = _lsq_decode(codes, s, bits,
+                            all_positive=info.get("all_positive", False)
+                            ).reshape(info["shape"])
         _set(tree, tuple(key.split("/")), np.asarray(w, np.float32))
         done.add(key + ".codes")
         done.add(key + ".scale")

@@ -131,7 +131,8 @@ def export_experiment(exp_dir: str, out_path: str, *,
         # across variants — deit_test uses d=8, so never hardcode 64)
         hk = {"num_heads": p.model.cfg.num_heads}
     exported = export_packed(
-        params, weight_bits=args.wq_bitw, qk_reparam=args.qk_reparam, **hk)
+        params, weight_bits=args.wq_bitw, qk_reparam=args.qk_reparam,
+        wq_mode=args.wq_mode, wq_asym=getattr(args, "wq_asym", False), **hk)
     np.savez(out_path, **exported)
     fp32 = sum(np.asarray(v).nbytes for v in jax.tree.leaves(params))
     print(f"exported {out_path}: {artifact_nbytes(exported) / 1e6:.1f} MB "
@@ -174,8 +175,20 @@ def predictor_from_artifact(npz_path: str, args_yaml: str, *,
         raise ValueError(
             f"artifact qk_reparam={meta.get('qk_reparam')} != args.yaml "
             f"qk_reparam={args.qk_reparam}; wrong exp_dir for this artifact")
+    if meta.get("wq_mode", "statsq") != args.wq_mode:
+        raise ValueError(
+            f"artifact wq_mode={meta.get('wq_mode', 'statsq')!r} != "
+            f"args.yaml wq_mode={args.wq_mode!r}; wrong exp_dir for this "
+            f"artifact")
     from .ops.int8_qlinear import int8_eligible
 
+    if int_core and args.wq_mode == "lsq":
+        # the integer core reconstructs StatsQ codes from kernel_scale
+        # params; full-LSQ frozen blocks run the fp path, so an int-core
+        # request would silently serve fp rates under an int-core label
+        raise ValueError(
+            "--int-core serves StatsQ recipes only; full-LSQ "
+            "(--wq-mode lsq) artifacts serve through the frozen-fp path")
     if int_core and not int8_eligible(args.wq_bitw, args.aq_bitw,
                                       all_positive=True):
         # outside these ranges the QLinears would silently fall back to

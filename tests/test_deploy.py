@@ -229,17 +229,54 @@ class TestExportRestore:
         np.testing.assert_array_equal(np.argmax(int_logits, -1),
                                       np.argmax(fp_logits, -1))
 
-    def test_full_lsq_rejected(self):
+    def _build_lsq(self, bits=3, wq_asym=False):
         pol = policy_from_args(
-            wq_bitw=2, aq_bitw=2, wq_mode="lsq", aq_mode="lsq",
-            wq_learnable=True,
+            wq_bitw=bits, aq_bitw=bits, wq_mode="lsq", aq_mode="lsq",
+            wq_learnable=True, wq_asym=wq_asym,
             qmodules=default_deit_qmodules(2))
         model = VisionTransformer(cfg=TINY, policy=pol)
-        x = jnp.zeros((2, 32, 32, 3))
+        x = jnp.asarray(
+            np.random.default_rng(1).normal(size=(4, 32, 32, 3)),
+            jnp.float32)
         params = model.init({"params": jax.random.key(0)}, x)
-        with pytest.raises(NotImplementedError):
+        return pol, model, params, x
+
+    @pytest.mark.parametrize("bits,wq_asym", [(2, False), (3, False),
+                                              (3, True)])
+    def test_full_lsq_export_restore_parity(self, bits, wq_asym):
+        """--wq-mode lsq export: block kernels pack at wq_bitw with their
+        LEARNED scale (signed, or unsigned under --wq_asym); the frozen
+        model (weight_bits=32, kernel consumed directly) must reproduce
+        the master model's logits."""
+        pol, model, params, x = self._build_lsq(bits, wq_asym)
+        ref_logits, _ = model.apply(params, x, train=False)
+
+        exported = export_packed(
+            jax.tree.map(np.asarray, params["params"]),
+            weight_bits=bits, qk_reparam=False, num_heads=TINY.num_heads,
+            wq_mode="lsq", wq_asym=wq_asym)
+        restored = restore_packed(exported)
+
+        frozen_pol = dataclasses.replace(pol, weight_frozen=True)
+        frozen_model = VisionTransformer(cfg=TINY, policy=frozen_pol)
+        got_logits, _ = frozen_model.apply(
+            {"params": jax.tree.map(jnp.asarray, restored)}, x, train=False)
+        np.testing.assert_allclose(got_logits, ref_logits,
+                                   rtol=1e-4, atol=1e-4)
+        # block kernels (the bulk) must actually be packed, not passthrough
+        fp32_bytes = sum(np.asarray(v).nbytes
+                         for v in jax.tree.leaves(params["params"]))
+        assert fp32_bytes / artifact_nbytes(exported) > 2.0
+
+    def test_full_lsq_tree_with_statsq_mode_rejected(self):
+        """An LSQ param tree exported without wq_mode='lsq' would StatsQ-
+        pack kernels whose trained quantizer used a learned scale —
+        silently wrong values; must be rejected."""
+        _, _, params, _ = self._build_lsq()
+        with pytest.raises(ValueError, match="wq_mode"):
             export_packed(jax.tree.map(np.asarray, params["params"]),
-                          weight_bits=2, qk_reparam=False)
+                          weight_bits=3, qk_reparam=False,
+                          num_heads=TINY.num_heads)
 
 
 class TestArtifactMetaGuards:
@@ -279,3 +316,40 @@ class TestArtifactMetaGuards:
                              "qk_reparam": False}, f)
         with pytest.raises(ValueError, match="qk_reparam"):
             predictor_from_artifact(npz, ay)
+
+    def test_artifact_args_wq_mode_mismatch_rejected(self, tmp_path):
+        """A full-LSQ artifact served with a statsq args.yaml (or vice
+        versa) would rebuild the wrong model path — must be rejected."""
+        import yaml as _yaml
+
+        from ofq_tpu.serve import predictor_from_artifact
+
+        exported = export_packed(
+            {"head": {"kernel": np.ones((8, 4), np.float32)}},
+            weight_bits=2, qk_reparam=False, num_heads=1, wq_mode="lsq")
+        npz = str(tmp_path / "w2lsq.npz")
+        np.savez(npz, **exported)
+        ay = str(tmp_path / "args.yaml")
+        with open(ay, "w") as f:
+            _yaml.safe_dump({"wq_bitw": 2, "aq_bitw": 2}, f)
+        with pytest.raises(ValueError, match="wq_mode"):
+            predictor_from_artifact(npz, ay)
+
+    def test_int_core_lsq_artifact_rejected(self, tmp_path):
+        """--int-core reconstructs StatsQ codes; a full-LSQ artifact would
+        silently serve the fp path under an int-core label."""
+        import yaml as _yaml
+
+        from ofq_tpu.serve import predictor_from_artifact
+
+        exported = export_packed(
+            {"head": {"kernel": np.ones((8, 4), np.float32)}},
+            weight_bits=2, qk_reparam=False, num_heads=1, wq_mode="lsq")
+        npz = str(tmp_path / "w2lsq.npz")
+        np.savez(npz, **exported)
+        ay = str(tmp_path / "args.yaml")
+        with open(ay, "w") as f:
+            _yaml.safe_dump({"wq_bitw": 2, "aq_bitw": 2,
+                             "wq_mode": "lsq", "aq_mode": "lsq"}, f)
+        with pytest.raises(ValueError, match="StatsQ recipes only"):
+            predictor_from_artifact(npz, ay, int_core=True)
