@@ -28,8 +28,12 @@ import argparse
 import glob
 import json
 import os
+import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from lsq_drift import drift_stats as drift  # noqa: E402  (shared with bf16_study)
 
 
 def load_params(exp):
@@ -55,25 +59,6 @@ def find_params(tree):
                 if r is not None:
                     return r
     return None
-
-
-def scales(tree, prefix=()):
-    """Every LSQ scale param 's' under a quantizer module path."""
-    for k, v in tree.items():
-        if isinstance(v, dict):
-            yield from scales(v, prefix + (k,))
-        elif k == "s" and any("quant" in p or "quan" in p for p in prefix):
-            yield "/".join(prefix), np.asarray(v, np.float64)
-
-
-def drift(pa, pb):
-    sa = dict(scales(pa))
-    sb = dict(scales(pb))
-    rel = [np.abs(sa[k] - sb[k]) / np.maximum(np.abs(sa[k]), 1e-8)
-           for k in sa if k in sb and sa[k].shape == sb[k].shape]
-    rel = np.concatenate([r.ravel() for r in rel])
-    return {"median": float(np.median(rel)),
-            "p95": float(np.percentile(rel, 95)), "n": int(rel.size)}
 
 
 def main():

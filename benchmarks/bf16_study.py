@@ -43,6 +43,7 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)  # in-process compare_arms imports ofq_tpu
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # lsq_drift
 
 
 def run_phase(args_list, log_path, expect_rows):
@@ -155,23 +156,12 @@ def compare_arms(out_root, data, seed):
     out["argmax_agree_frac"] = float((la.argmax(-1) == lb.argmax(-1)).mean())
     out["max_abs_prob_diff"] = float(np.abs(la - lb).max())
 
-    # LSQ scale drift: all params named 's' under *quant* modules
-    def scales(tree, prefix=()):
-        for k, v in tree.items():
-            if isinstance(v, dict):
-                yield from scales(v, prefix + (k,))
-            elif k == "s" and any("quant" in p or "quan" in p
-                                  for p in prefix):
-                yield "/".join(prefix), np.asarray(v, np.float64)
+    # LSQ scale drift — the ONE shared walk/drift definition also used by
+    # the seed-noise control (benchmarks/lsq_drift.py)
+    from lsq_drift import rel_drift
 
-    sa = dict(scales(preds["float32"].params["params"]))
-    sb = dict(scales(preds["bfloat16"].params["params"]))
-    rel = []
-    for k in sa:
-        if k in sb and sa[k].shape == sb[k].shape:
-            denom = np.maximum(np.abs(sa[k]), 1e-8)
-            rel.append(np.abs(sa[k] - sb[k]) / denom)
-    rel = np.concatenate([r.ravel() for r in rel])
+    rel = rel_drift(preds["float32"].params["params"],
+                    preds["bfloat16"].params["params"])
     out["lsq_scale_rel_drift_median"] = float(np.median(rel))
     out["lsq_scale_rel_drift_p95"] = float(np.percentile(rel, 95))
     out["n_scale_params"] = int(rel.size)

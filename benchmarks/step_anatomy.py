@@ -102,6 +102,13 @@ def build(variant: str, batch: int, dtype: str = None, attn_impl=None):
         if remat_stages is not None:
             extra["remat_stages"] = remat_stages
     else:
+        if remat_stages is not None:
+            # remat_stages is a SwinConfig knob; measuring a DeiT variant
+            # without it but reporting under a remat label would commit a
+            # mislabeled number (DeiT's remat lever is --attn-impl remat)
+            raise ValueError(
+                f"variant {variant!r}: 'remat' tokens are Swin-only "
+                f"(SwinConfig.remat_stages); for DeiT use attn_impl='remat'")
         extra = {"attn_impl": attn_impl}  # DeiT-only knob
     if "int8" in variant:
         extra["matmul_impl"] = "int8"

@@ -91,7 +91,17 @@ def qkr_quant_chain(mod, x):
             s = jax.lax.stop_gradient(s)
         xi, s_eff = qkr_int8_codes(x1, s, mod.input_bits)
         bx = _BiasParam(C, name="quant_x_move_aft")()
-        xq = xi * s_eff + bx.astype(xi.dtype)  # fp view (attn lhs)
+        # fp view for the attention lhs: the SAME values as
+        # `xi * s_eff + bx`, but built from the composed-path primitives
+        # (fused LSQ VJP + _bias_add) so the s/bx gradients contributed
+        # by the fp consumers accumulate in fp32 under the bf16 stream —
+        # the int8 dots' custom VJPs already do; a raw broadcast-mul/sum
+        # here would reduce ~50k bf16 terms and lose low bits
+        from ..quant.lsq import lsq_quantize
+        from .bias import _bias_add
+
+        xq = _bias_add(
+            lsq_quantize(x1, s, mod.input_bits, channel_axis=-2), bx)
     else:
         xq = LsqAct(mod.input_bits, channel_axis=-2,
                     learnable=mod.aq_learnable, name="quant_x")(x1)

@@ -144,6 +144,21 @@ class QLinear(nn.Module):
     # reconstructed exactly and the dot runs int8 (serve --int-core)
     frozen_int_bits: Optional[int] = None
 
+    def _input_quant_params(self, x, in_features):
+        """The input-quant param trio (move_b4 / input_quant / move_aft)
+        shared by every non-composed branch below — ONE declaration so the
+        checkpoint tree can never fork between matmul_impl settings (the
+        composed path spells the same names via LearnableBias/LsqAct)."""
+        b_pre = _BiasParam(in_features, name="move_b4")()
+        s = _ScaleParam(self.input_bits, not self.symmetric,
+                        name="input_quant")(x)
+        if not self.aq_learnable:
+            # no-op on the inference-only frozen path; matches
+            # LsqAct(learnable=False) on the training paths
+            s = jax.lax.stop_gradient(s)
+        b_post = _BiasParam(in_features, name="move_aft")()
+        return b_pre, s, b_post
+
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         in_features = x.shape[-1]
@@ -157,10 +172,7 @@ class QLinear(nn.Module):
                                   not self.symmetric)):
             from ..ops.int8_qlinear import frozen_int8_forward
 
-            b_pre = _BiasParam(in_features, name="move_b4")()
-            s = _ScaleParam(self.input_bits, not self.symmetric,
-                            name="input_quant")(x)
-            b_post = _BiasParam(in_features, name="move_aft")()
+            b_pre, s, b_post = self._input_quant_params(x, in_features)
             w_scale = self.param("kernel_scale", nn.initializers.ones,
                                  (1, self.features), jnp.float32)
             y = frozen_int8_forward(
@@ -176,12 +188,7 @@ class QLinear(nn.Module):
                 and self.weight_bits < 32):
             from ..ops.fused_qlinear import fused_qlinear
 
-            b_pre = _BiasParam(in_features, name="move_b4")()
-            s = _ScaleParam(self.input_bits, not self.symmetric,
-                            name="input_quant")(x)
-            if not self.aq_learnable:
-                s = jax.lax.stop_gradient(s)
-            b_post = _BiasParam(in_features, name="move_aft")()
+            b_pre, s, b_post = self._input_quant_params(x, in_features)
             bias = (self.param("bias", self.bias_init, (self.features,),
                                jnp.float32) if self.use_bias else None)
             return fused_qlinear(
@@ -193,12 +200,7 @@ class QLinear(nn.Module):
 
             if int8_eligible(self.weight_bits, self.input_bits,
                              not self.symmetric):
-                b_pre = _BiasParam(in_features, name="move_b4")()
-                s = _ScaleParam(self.input_bits, not self.symmetric,
-                                name="input_quant")(x)
-                if not self.aq_learnable:
-                    s = jax.lax.stop_gradient(s)
-                b_post = _BiasParam(in_features, name="move_aft")()
+                b_pre, s, b_post = self._input_quant_params(x, in_features)
                 y = int8_qlinear(
                     x, kernel, s, b_pre, b_post,
                     self.weight_bits, self.input_bits, not self.symmetric)

@@ -165,7 +165,9 @@ def predictor_from_artifact(npz_path: str, args_yaml: str, *,
     # the artifact records its own weight_bits — that is the authoritative
     # value for code reconstruction; a mismatched args.yaml (wrong exp_dir
     # next to the right npz) would otherwise silently rebuild wrong codes
-    meta = json.loads(bytes(np.load(npz_path)["__meta__"]).decode())
+    with np.load(npz_path) as npz:
+        exported = dict(npz)
+    meta = json.loads(bytes(exported["__meta__"]).decode())
     if meta["weight_bits"] != args.wq_bitw:
         raise ValueError(
             f"artifact {npz_path} was packed at W{meta['weight_bits']} but "
@@ -204,7 +206,7 @@ def predictor_from_artifact(npz_path: str, args_yaml: str, *,
     # experiment (compute_dtype, matmul/attn impls, norm swap, img size)
     # applies identically to the frozen model
     model = build_model(args, policy)
-    restored = restore_packed(dict(np.load(npz_path)), int_core=int_core)
+    restored = restore_packed(exported, int_core=int_core)
     params = {"params": jax.tree.map(jnp.asarray, restored)}
     return Predictor(model, params, batch_size=batch_size,
                      img_size=args.img_size)

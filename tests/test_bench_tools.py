@@ -36,6 +36,37 @@ def test_parse_variant(variant, want):
     assert parse_variant(variant) == want
 
 
+def test_deit_remat_token_rejected():
+    """A remat token on a non-Swin variant must fail loudly: build() only
+    applies remat_stages through SwinConfig, so silently accepting it
+    would commit a plain-step measurement under a remat label."""
+    from step_anatomy import build
+
+    with pytest.raises(ValueError, match="Swin-only"):
+        build("bf16_remat", batch=4)
+
+
+def test_lsq_drift_helper_is_shared():
+    """bf16_study and bf16_seed_control must measure the SAME scale set:
+    both import the one walk/drift definition from lsq_drift."""
+    import numpy as np
+
+    import bf16_seed_control
+    import lsq_drift
+
+    assert bf16_seed_control.drift is lsq_drift.drift_stats
+    tree_a = {"blk": {"input_quant": {"s": np.array([1.0, 2.0])},
+                      "kernel": np.array([3.0])},
+              "quan_qkx": {"s": np.array([4.0])}}
+    tree_b = {"blk": {"input_quant": {"s": np.array([1.1, 2.0])},
+                      "kernel": np.array([9.0])},
+              "quan_qkx": {"s": np.array([4.0])}}
+    stats = lsq_drift.drift_stats(tree_a, tree_b)
+    # only the 3 quantizer scales counted (kernel excluded)
+    assert stats["n"] == 3
+    assert abs(stats["median"]) < 1e-12  # two of three entries unchanged
+
+
 def test_wait_for_backend_probes_cpu():
     """The bench backend probe must succeed quickly on a healthy backend
     (the failure path was exercised live against a hung tunnel: exit 3)."""
