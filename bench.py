@@ -48,7 +48,10 @@ import numpy as np
 
 A100_ESTIMATE_IMGS_PER_SEC = 320.0
 MEASURED_PEAK_TFLOPS = 234.0  # benchmarks/chip_calibration.py, pipelined bf16
-BATCH = 128
+BATCH = 144  # measured single-chip knee for the int8 headline (sweep
+# B128..B256: 1255/1327/1306/1283/1295/1166 img/s at 128/144/160/176/
+# 192/256 — benchmarks/round3_measurements.json; B144 ~= the published
+# recipe's per-device batch 140)
 WARMUP = 3
 ITERS = 10
 
@@ -175,14 +178,15 @@ def main():
     # environment, fall back to the XLA bf16 path so the bench always
     # prints a real number.
     config = "bf16 stream (fp32 masters), int8 MXU cores " \
-             "(--matmul-impl int8), B=128"
+             f"(--matmul-impl int8), B={BATCH}"
     secondary = {}
     try:
         imgs_per_sec = measure(matmul_impl="int8", compute_dtype="bfloat16")
         int8_ok = True
     except Exception as e:  # pragma: no cover - smoke guard
         secondary["int8_error"] = f"{e}"
-        config = "bf16 stream (fp32 masters), XLA dots (int8 FAILED), B=128"
+        config = ("bf16 stream (fp32 masters), XLA dots (int8 FAILED), "
+                  f"B={BATCH}")
         imgs_per_sec = measure(compute_dtype="bfloat16")
         int8_ok = False
     mfu = (imgs_per_sec * gflops / 1e3) / MEASURED_PEAK_TFLOPS

@@ -132,6 +132,13 @@ def main():
         rounds=3), 1)
     res["deit_s_fp32"] = round(bench.measure(iters=max(iters // 2, 2),
                                              rounds=2), 1)
+    # single-chip batch knee for the headline config (bench.BATCH=144 is
+    # the measured winner; ~= the recipe's per-device batch 140)
+    res["deit_s_int8_batch_sweep"] = {
+        str(b): round(bench.measure(
+            matmul_impl="int8", compute_dtype="bfloat16",
+            iters=max(iters // 2, 2), rounds=2, batch=b), 1)
+        for b in (128, 160, 192, 256)}
     res["swin_t_bf16_B64"] = round(bench.measure(
         compute_dtype="bfloat16", iters=iters, rounds=3, batch=64,
         model="swin_t"), 1)
@@ -149,11 +156,14 @@ def main():
 
     from ofq_tpu.utils.flops import deit_step_flops, swin_t_step_flops
 
+    res["bench_batch"] = bench.BATCH
     res["mfu"] = {
-        "deit_s_bf16": round(res["deit_s_bf16"]
-                             * deit_step_flops(batch=128).total / 234e3, 4),
-        "deit_s_int8": round(res["deit_s_int8"]
-                             * deit_step_flops(batch=128).total / 234e3, 4),
+        "deit_s_bf16": round(
+            res["deit_s_bf16"]
+            * deit_step_flops(batch=bench.BATCH).total / 234e3, 4),
+        "deit_s_int8": round(
+            res["deit_s_int8"]
+            * deit_step_flops(batch=bench.BATCH).total / 234e3, 4),
         "swin_t_bf16_B64": round(
             res["swin_t_bf16_B64"]
             * swin_t_step_flops(batch=64).total / 234e3, 4),

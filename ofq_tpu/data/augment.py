@@ -240,20 +240,32 @@ def random_erasing(img: tf.Tensor, prob: float = 0.25,
     w = tf.shape(img)[1]
 
     def erase():
+        # timm retries up to 10 draws and SKIPS if no rectangle fits —
+        # clamping an oversized draw instead would erase far above the
+        # 1/3 max-area bound (a 10/3-aspect draw at max area clamps to
+        # ~57% of a 224px image).  Draw the 10 candidates up front and
+        # take the first that fits strictly inside the image.
         area = tf.cast(h * w, tf.float32)
-        target = tf.random.uniform([], *area_range) * area
+        target = tf.random.uniform([10], *area_range) * area
         ar = tf.exp(tf.random.uniform(
-            [], tf.math.log(aspect_range[0]), tf.math.log(aspect_range[1])))
-        eh = tf.cast(tf.round(tf.sqrt(target * ar)), tf.int32)
-        ew = tf.cast(tf.round(tf.sqrt(target / ar)), tf.int32)
-        eh = tf.minimum(eh, h - 1)
-        ew = tf.minimum(ew, w - 1)
-        top = tf.random.uniform([], 0, tf.maximum(h - eh, 1), tf.int32)
-        left = tf.random.uniform([], 0, tf.maximum(w - ew, 1), tf.int32)
-        mask = tf.pad(
-            tf.ones([eh, ew, 1], tf.float32),
-            [[top, h - top - eh], [left, w - left - ew], [0, 0]])
-        noise = tf.random.normal(tf.shape(img))
-        return img * (1.0 - mask) + noise * mask
+            [10], tf.math.log(aspect_range[0]), tf.math.log(aspect_range[1])))
+        eh_c = tf.cast(tf.round(tf.sqrt(target * ar)), tf.int32)
+        ew_c = tf.cast(tf.round(tf.sqrt(target / ar)), tf.int32)
+        fits = (eh_c < h) & (ew_c < w) & (eh_c > 0) & (ew_c > 0)
+        idx = tf.argmax(tf.cast(fits, tf.int32), output_type=tf.int32)
+
+        def apply_erase():
+            eh = eh_c[idx]
+            ew = ew_c[idx]
+            # timm: random.randint(0, h - eh) is INCLUSIVE of both ends
+            top = tf.random.uniform([], 0, h - eh + 1, tf.int32)
+            left = tf.random.uniform([], 0, w - ew + 1, tf.int32)
+            mask = tf.pad(
+                tf.ones([eh, ew, 1], tf.float32),
+                [[top, h - top - eh], [left, w - left - ew], [0, 0]])
+            noise = tf.random.normal(tf.shape(img))
+            return img * (1.0 - mask) + noise * mask
+
+        return tf.cond(tf.reduce_any(fits), apply_erase, lambda: img)
 
     return tf.cond(tf.random.uniform([]) < prob, erase, lambda: img)

@@ -231,7 +231,12 @@ def make_dataset(cfg: DataConfig, *, train: bool):
         return rrc_crop_params(tf, h, w, cfg.scale)
 
     def load_train(path, label):
-        img = tf.io.decode_jpeg(tf.io.read_file(path), channels=3)
+        # decode_image, not decode_jpeg: ImageNet train famously contains
+        # mislabeled non-JPEG files (e.g. n02105855_2933.JPEG is a PNG)
+        # which PIL (the reference loader) decodes and decode_jpeg
+        # rejects mid-epoch; decode_image handles JPEG/PNG/BMP/GIF
+        img = tf.io.decode_image(tf.io.read_file(path), channels=3,
+                                 expand_animations=False)
         shape = tf.shape(img)
         top, left, ch, cw = rrc_params(shape[0], shape[1])
         img = img[top:top + ch, left:left + cw]
@@ -254,7 +259,12 @@ def make_dataset(cfg: DataConfig, *, train: bool):
         return img, tf.cast(label, tf.int32)
 
     def load_eval(path, label):
-        img = tf.io.decode_jpeg(tf.io.read_file(path), channels=3)
+        # decode_image, not decode_jpeg: ImageNet train famously contains
+        # mislabeled non-JPEG files (e.g. n02105855_2933.JPEG is a PNG)
+        # which PIL (the reference loader) decodes and decode_jpeg
+        # rejects mid-epoch; decode_image handles JPEG/PNG/BMP/GIF
+        img = tf.io.decode_image(tf.io.read_file(path), channels=3,
+                                 expand_animations=False)
         shape = tf.shape(img)
         scale_size = int(math.floor(size / cfg.crop_pct))
         short = tf.minimum(shape[0], shape[1])

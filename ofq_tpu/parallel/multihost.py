@@ -11,12 +11,30 @@ across slices, inserted by GSPMD with no hand-written comm layer
 from __future__ import annotations
 
 import logging
+import os
 from typing import Optional
 
 import jax
 import numpy as np
 
 _logger = logging.getLogger("ofq_tpu")
+
+# Environment markers of a real multi-host launch (GKE/GCE TPU pods,
+# manual rendezvous) — checkable WITHOUT initializing the local backend.
+_COORD_ENV_HINTS = ("MEGASCALE_COORDINATOR_ADDRESS",
+                    "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS")
+
+
+def _pod_env_markers() -> list[str]:
+    """Env vars that declare a MULTI-host launch.  TPU_WORKER_HOSTNAMES
+    counts only with >1 entry: single-host TPU VMs (incl. this repo's
+    dev box) set it to one hostname at interpreter startup."""
+    markers = [k for k in _COORD_ENV_HINTS if os.environ.get(k)]
+    hosts = [h for h in os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",")
+             if h.strip()]
+    if len(hosts) > 1:
+        markers.append("TPU_WORKER_HOSTNAMES")
+    return markers
 
 
 def initialize_multihost(coordinator_address: Optional[str] = None,
@@ -39,11 +57,26 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
                      jax.process_index(), jax.process_count(),
                      jax.local_device_count(), jax.device_count())
     except Exception as e:  # single-host dev boxes
-        if jax.process_count() > 1 or num_processes not in (None, 1):
-            _logger.warning("multihost init FAILED (%s); continuing as "
-                            "independent single-host processes", e)
-        else:
-            _logger.debug("multihost init skipped: %s", e)
+        # On a failed init we must NOT query jax.process_count() — that
+        # initializes the local backend (the very thing the docstring
+        # forbids) and always answers 1, which round-3 review found made
+        # the old multi-process guard dead code.  Decide from the launch
+        # intent instead: explicit multi-process args or pod environment
+        # markers mean a real pod launch, where continuing would silently
+        # run N independent trainings that all believe they are rank 0
+        # and clobber the same checkpoint directory.
+        explicit_multi = (num_processes not in (None, 1)
+                          or coordinator_address is not None
+                          or process_id not in (None, 0))
+        pod_env = _pod_env_markers()
+        if explicit_multi or pod_env:
+            raise RuntimeError(
+                "jax.distributed.initialize failed on what is declared a "
+                "multi-process launch "
+                f"({'explicit args' if explicit_multi else pod_env}); "
+                "refusing to continue as independent single-host "
+                "trainings") from e
+        _logger.debug("multihost init skipped (single-host): %s", e)
 
 
 def host_batch_slice(global_batch: int) -> tuple[int, int]:

@@ -45,16 +45,35 @@ def statsq_scale(w: jax.Array, *, reduce_axis: int = 0) -> jax.Array:
     return jax.lax.stop_gradient(s)
 
 
+def statsq_b4_round(w: jax.Array, num_bits: int, *,
+                    reduce_axis: int = 0) -> tuple[jax.Array, jax.Array]:
+    """The pre-round mid-rise image `clip(w/s) * n - 0.5` and its scale,
+    computed in fp32.
+
+    This is the ONE derivation of the StatsQ integer image, shared by the
+    forward level set (statsq_quantize), CGA's outer freeze mask
+    (outer_freeze_mask) and the oscillation tracker
+    (train/oscillation_hook.py) — a change to the level-set definition
+    here reaches every consumer in lockstep.  Always fp32 regardless of
+    the caller's dtype: under bf16 master weights a bf16 image has
+    ulp 1.0 at n = 128, which can resolve neither the integer levels nor
+    CGA's 0.005 rounding-decision band.
+    """
+    w32 = w.astype(jnp.float32)
+    s = statsq_scale(w32, reduce_axis=reduce_axis)
+    clipped = jnp.clip(w32 / s, -1.0, 1.0 - _CLIP_HI_EPS)
+    n = float(2 ** (num_bits - 1))
+    return clipped * n - 0.5, s
+
+
 def statsq_quantize(w: jax.Array, num_bits: int, *, reduce_axis: int = 0) -> jax.Array:
     """Fake-quantize a kernel with StatsQ. Gradient = identity (STE).
 
     Reference: statsq.py:133-150 (`StatsQuantizer.forward`).
     """
-    s = statsq_scale(w, reduce_axis=reduce_axis)
-    scaled = w / s
-    clipped = jnp.clip(scaled, -1.0, 1.0 - _CLIP_HI_EPS)
+    b4_round, s = statsq_b4_round(w, num_bits, reduce_axis=reduce_axis)
     n = float(2 ** (num_bits - 1))
-    q = s * ((jnp.round(clipped * n - 0.5) + 0.5) / n)
+    q = (s * ((jnp.round(b4_round) + 0.5) / n)).astype(w.dtype)
     return passthrough(jax.lax.stop_gradient(q), w)
 
 
@@ -142,11 +161,7 @@ def outer_freeze_mask(w: jax.Array, num_bits: int, boundary_range: float,
     — inclusive of min, exclusive of max.  We compute the same range
     in-graph with jnp.min/max (floor must land in [min_r, max_r - 1]).
     """
-    s = statsq_scale(w, reduce_axis=reduce_axis)
-    scaled = w / s
-    clipped = jnp.clip(scaled, -1.0, 1.0 - _CLIP_HI_EPS)
-    n = float(2 ** (num_bits - 1))
-    b4_round = clipped * n - 0.5
+    b4_round, _ = statsq_b4_round(w, num_bits, reduce_axis=reduce_axis)
     rounded = jnp.round(b4_round)
     min_r = jnp.min(rounded)
     max_r = jnp.max(rounded)
@@ -155,4 +170,6 @@ def outer_freeze_mask(w: jax.Array, num_bits: int, boundary_range: float,
     in_band = (frac >= 0.5 - boundary_range) & (frac <= 0.5 + boundary_range)
     in_range = (floor >= min_r) & (floor <= max_r - 1.0)
     keep_trainable = in_band & in_range
-    return 1.0 - keep_trainable.astype(w.dtype)
+    # fp32 mask (exact 0/1) — the band test must run in fp32 even for
+    # bf16 master weights; callers apply it dtype-preservingly (where)
+    return 1.0 - keep_trainable.astype(jnp.float32)

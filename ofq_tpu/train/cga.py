@@ -71,10 +71,16 @@ def freeze_masks(params, *, bits: int, boundary_range: float,
 
 
 def mask_grads(grads, masks):
-    """grad * (1 - freeze) on selected leaves (cga.py:960-962)."""
+    """grad * (1 - freeze) on selected leaves (cga.py:960-962).
+
+    Masks are exact fp32 0/1 (outer_freeze_mask), so the select is
+    expressed as `where` — identical values, and the grad dtype is
+    preserved under bf16 masters instead of silently widening."""
 
     def apply(m, g):
-        return g if m is None else g * (1.0 - m)
+        if m is None:
+            return g
+        return jnp.where(m > 0.5, jnp.zeros((), g.dtype), g)
 
     # masks first: its None leaves mark unselected params.
     return jax.tree.map(apply, masks, grads,
@@ -83,10 +89,11 @@ def mask_grads(grads, masks):
 
 def restore_frozen(old_params, new_params, masks):
     """w = freeze*w_old + (1-freeze)*w_new after the optimizer step
-    (cga.py:989-1013)."""
+    (cga.py:989-1013); exact-binary masks, so `where` == the blend and
+    the param dtype is preserved."""
 
     def apply(m, old, new):
-        return new if m is None else m * old + (1.0 - m) * new
+        return new if m is None else jnp.where(m > 0.5, old, new)
 
     return jax.tree.map(apply, masks, old_params, new_params,
                         is_leaf=lambda x: x is None)

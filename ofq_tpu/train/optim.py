@@ -41,10 +41,16 @@ def wd_mask(params) -> object:
 
 
 def unitwise_norm(x: jax.Array) -> jax.Array:
-    """L2 norm per output unit (axis 0 kept for >=2-D). utils.py:8-12."""
+    """L2 norm per output unit (utils.py:8-12, timm unitwise semantics).
+
+    The reference keeps dim 0 of torch (out, in) / (O, I, kh, kw)
+    weights; this repo's kernels are Flax (in, out) / HWIO — the output
+    axis is LAST, so the norm reduces over every axis except -1
+    (differential-tested against the reference's adaptive_clip_grad in
+    tests/test_torch_differential.py)."""
     if x.ndim <= 1:
         return jnp.linalg.norm(x)
-    axes = tuple(range(1, x.ndim))
+    axes = tuple(range(x.ndim - 1))
     return jnp.sqrt(jnp.sum(x * x, axis=axes, keepdims=True))
 
 

@@ -22,15 +22,16 @@ from ..quant.oscillation import (
     init_oscillation_state,
     track_oscillation,
 )
-from ..quant.statsq import _CLIP_HI_EPS, statsq_scale
+from ..quant.statsq import statsq_b4_round, statsq_scale
 from .cga import is_cga_kernel
 
 
 def weight_int_image(w: jax.Array, bits: int) -> jax.Array:
-    s = statsq_scale(w)
-    clipped = jnp.clip(w / s, -1.0, 1.0 - _CLIP_HI_EPS)
-    n = float(2 ** (bits - 1))
-    return jnp.round(clipped * n - 0.5)
+    """fp32 mid-rise integer image — the shared statsq_b4_round
+    derivation, so tracking can never desynchronize from the levels the
+    forward actually rounds (and stays exact under bf16 masters)."""
+    b4_round, _ = statsq_b4_round(w, bits)
+    return jnp.round(b4_round)
 
 
 def _tracked_paths(params, *, qk_reparam: bool, model_type: str):
@@ -98,8 +99,10 @@ def apply_frozen(old_params, new_params, states: Dict[str, OscillationState],
         st = states.get(name)
         if st is None:
             return new_leaf
-        s = statsq_scale(new_leaf)
-        pinned = s * ((st.frozen_x_int + 0.5) / n)
+        # fp32 pinning math (frozen_x_int is an fp32 image); one final
+        # cast back to the master dtype
+        s = statsq_scale(new_leaf.astype(jnp.float32))
+        pinned = (s * ((st.frozen_x_int + 0.5) / n)).astype(new_leaf.dtype)
         return jnp.where(st.frozen, pinned, new_leaf)
 
     return jax.tree_util.tree_map_with_path(rebuild, new_params)

@@ -78,9 +78,30 @@ class TestAugmentOps:
         from ofq_tpu.data.augment import random_erasing
 
         img = tf.zeros((32, 32, 3), tf.float32)
-        out = random_erasing(img, prob=1.0)
-        # gaussian-noise rectangle -> nonzero pixels
-        assert float(tf.reduce_max(tf.abs(out))) > 0
+        # skip-if-unfit means a single draw may be a no-op; over 20 draws
+        # the erase probability is overwhelming
+        erased_any = False
+        for _ in range(20):
+            out = random_erasing(img, prob=1.0)
+            erased_any = erased_any or float(tf.reduce_max(tf.abs(out))) > 0
+        assert erased_any
+
+    def test_random_erasing_respects_max_area(self):
+        """timm retries-then-skips; clamping an oversized draw instead
+        would erase up to ~57% of the image (round-3 review finding).
+        Over many draws the erased fraction must never exceed the 1/3
+        area bound (+ rounding slack of half a perimeter)."""
+        from ofq_tpu.data.augment import random_erasing
+
+        img = tf.zeros((32, 32, 3), tf.float32)
+        max_frac = 0.0
+        for _ in range(200):
+            out = random_erasing(img, prob=1.0)
+            frac = float(tf.reduce_mean(
+                tf.cast(tf.reduce_max(tf.abs(out), axis=-1) > 0,
+                        tf.float32)))
+            max_frac = max(max_frac, frac)
+        assert max_frac <= 0.36, max_frac  # 1/3 + rounding slack
 
 
 class TestMixup:

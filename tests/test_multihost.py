@@ -41,6 +41,41 @@ def _write_imagefolder(root, *, n_a=6, n_b=5, size=16):
     return n_a + n_b
 
 
+def test_failed_init_raises_on_declared_multiprocess(monkeypatch):
+    """A failed jax.distributed.initialize on a declared multi-process
+    launch must raise — continuing would run N independent trainings
+    that all believe they are rank 0 and clobber one checkpoint dir.
+    The handler must NOT query jax.process_count() (backend init)."""
+    import jax
+
+    from ofq_tpu.parallel import initialize_multihost
+
+    def boom(**kw):
+        raise RuntimeError("coordinator unreachable")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+
+    def no_backend(*a, **kw):  # the forbidden call
+        raise AssertionError("handler initialized the local backend")
+
+    monkeypatch.setattr(jax, "process_count", no_backend)
+    # explicit multi-process args -> hard failure
+    with pytest.raises(RuntimeError, match="multi-process launch"):
+        initialize_multihost(coordinator_address="localhost:1",
+                             num_processes=2, process_id=0)
+    # pod environment markers -> hard failure even with inferred args
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "w0,w1")
+    with pytest.raises(RuntimeError, match="multi-process launch"):
+        initialize_multihost()
+    # single-host TPU VMs set ONE hostname at interpreter startup (this
+    # repo's dev box does) — that must stay a silent no-op
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    initialize_multihost()
+    # plain single-host dev box -> silent no-op
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES")
+    initialize_multihost()
+
+
 def test_two_process_train_step(tmp_path):
     here = os.path.dirname(os.path.abspath(__file__))
     worker = os.path.join(here, "multihost_worker.py")

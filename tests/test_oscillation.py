@@ -54,6 +54,18 @@ class TestTrackOscillation:
         vals = np.unique(np.asarray(xi))
         assert set(vals) <= {-2.0, -1.0, 0.0, 1.0}
 
+    def test_weight_int_image_exact_under_bf16_masters(self):
+        """The integer image must be computed in fp32: at 8 bits a bf16
+        image (ulp 1.0 near n=128) lands whole levels off, corrupting
+        oscillation EMAs and freeze decisions under --master-dtype
+        bfloat16."""
+        w16 = jnp.asarray(np.random.default_rng(1).normal(size=(64, 48)),
+                          jnp.bfloat16)
+        xi16 = np.asarray(weight_int_image(w16, 8))
+        xi32 = np.asarray(weight_int_image(w16.astype(jnp.float32), 8))
+        assert xi16.dtype == np.float32
+        np.testing.assert_array_equal(xi16, xi32)
+
 
 class TestInStepTelemetry:
     def test_train_step_updates_oscillation(self):

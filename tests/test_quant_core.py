@@ -162,6 +162,44 @@ class TestCGAMasks:
         got = np.asarray(outer_freeze_mask(jnp.asarray(w_torch.T), bits, br)).T
         np.testing.assert_array_equal(got, want)
 
+    def test_freeze_mask_exact_under_bf16_masters(self):
+        """--master-dtype bfloat16: the band test must run in fp32 — a
+        bf16 image `clip(w/s)*n - 0.5` has ulp 0.0625-1.0 at n=128,
+        which cannot resolve the 0.005 rounding-decision band (round-3
+        review finding: nearly every weight froze, silently stalling
+        training)."""
+        rng = np.random.default_rng(6)
+        w16 = jnp.asarray(rng.normal(size=(256, 384)), jnp.bfloat16)
+        m16 = np.asarray(outer_freeze_mask(w16, 8, 0.005))
+        m32 = np.asarray(outer_freeze_mask(w16.astype(jnp.float32), 8, 0.005))
+        np.testing.assert_array_equal(m16, m32)
+        assert m16.dtype == np.float32
+        # sanity: the band keeps SOME weights trainable (~2*BR of them)
+        trainable = (m16 == 0.0).mean()
+        assert 0.0 < trainable < 0.1, trainable
+
+    def test_mask_apply_preserves_dtype(self):
+        """mask_grads / restore_frozen keep the leaf dtype under bf16
+        masters (binary masks -> where-select, no fp32 widening)."""
+        from ofq_tpu.train.cga import mask_grads, restore_frozen
+
+        rng = np.random.default_rng(7)
+        old = {"k": jnp.asarray(rng.normal(size=(8, 4)), jnp.bfloat16)}
+        new = {"k": jnp.asarray(rng.normal(size=(8, 4)), jnp.bfloat16)}
+        g = {"k": jnp.asarray(rng.normal(size=(8, 4)), jnp.bfloat16)}
+        masks = {"k": jnp.asarray(
+            rng.integers(0, 2, size=(8, 4)), jnp.float32)}
+        mg = mask_grads(g, masks)
+        rp = restore_frozen(old, new, masks)
+        assert mg["k"].dtype == jnp.bfloat16
+        assert rp["k"].dtype == jnp.bfloat16
+        m = np.asarray(masks["k"]) > 0.5
+        np.testing.assert_array_equal(
+            np.asarray(mg["k"]), np.where(m, 0, np.asarray(g["k"])))
+        np.testing.assert_array_equal(
+            np.asarray(rp["k"]),
+            np.where(m, np.asarray(old["k"]), np.asarray(new["k"])))
+
 
 # ------------------------------------------------------------------ LSQ
 def np_lsq(x, s, bit, all_positive, axis):

@@ -285,3 +285,62 @@ class TestSwinDifferential:
                                qmodules=_swin_qmodules(), qk_reparam=True)
         ours, theirs = _swin_pair(pol, qm, x_t)
         _assert_quantized_close(ours, theirs)
+
+
+class TestAgcDifferential:
+    """adaptive_clip_grad vs the reference (utils.py:8-27): the unitwise
+    norm must group per OUTPUT unit.  Reference weights are torch
+    (out, in) / (O, I, kh, kw) with dim 0 kept; ours are Flax (in, out) /
+    HWIO with the output axis LAST — the clipped gradients must agree
+    under the corresponding transpose."""
+
+    def _torch_clip(self, w_t, g_t):
+        import torch
+
+        rl.install()
+        from src.quantization.utils import adaptive_clip_grad
+
+        p = torch.nn.Parameter(torch.asarray(w_t))
+        p.grad = torch.asarray(g_t).clone()
+        adaptive_clip_grad([p], clip_factor=0.01, eps=1e-3)
+        return p.grad.numpy()
+
+    def _ours_clip(self, w_j, g_j):
+        from ofq_tpu.train.optim import adaptive_grad_clip
+
+        tx = adaptive_grad_clip(clip_factor=0.01, eps=1e-3)
+        clipped, _ = tx.update({"k": jnp.asarray(g_j)}, tx.init(None),
+                               {"k": jnp.asarray(w_j)})
+        return np.asarray(clipped["k"])
+
+    def test_dense_kernel(self):
+        rng = np.random.default_rng(0)
+        w_t = rng.normal(size=(6, 4)).astype(np.float32)   # torch (out, in)
+        # mixed regime: some output units clip, some don't
+        g_t = (rng.normal(size=(6, 4)) *
+               np.asarray([20, 1e-4, 5, 1e-3, 50, 0.5])[:, None]
+               ).astype(np.float32)
+        want = self._torch_clip(w_t, g_t).T                # -> (in, out)
+        got = self._ours_clip(w_t.T, g_t.T)
+        assert not np.allclose(g_t.T, want)  # clipping actually happened
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+    def test_conv_kernel(self):
+        rng = np.random.default_rng(1)
+        w_t = rng.normal(size=(5, 3, 2, 2)).astype(np.float32)  # (O,I,kh,kw)
+        g_t = (rng.normal(size=(5, 3, 2, 2)) *
+               np.asarray([30, 1e-4, 8, 1e-3, 60])[:, None, None, None]
+               ).astype(np.float32)
+        want = self._torch_clip(w_t, g_t).transpose(2, 3, 1, 0)  # -> HWIO
+        got = self._ours_clip(w_t.transpose(2, 3, 1, 0),
+                              g_t.transpose(2, 3, 1, 0))
+        assert not np.allclose(g_t.transpose(2, 3, 1, 0), want)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+    def test_bias_vector(self):
+        rng = np.random.default_rng(2)
+        w = rng.normal(size=(7,)).astype(np.float32)
+        g = (rng.normal(size=(7,)) * 40).astype(np.float32)
+        want = self._torch_clip(w, g)
+        got = self._ours_clip(w, g)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
