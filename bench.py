@@ -17,7 +17,7 @@ Pallas kernels (--matmul-impl pallas/fused), all on the real chip.
 The HEADLINE metric is MFU against this chip's measured steady-state
 bf16 matmul peak (benchmarks/chip_calibration.py: ~234 TFLOP/s pipelined),
 with the step's model FLOPs from the single authoritative enumeration in
-ofq_tpu/utils/flops.py (50.74 GFLOP/img: QKR student fwd+bwd + FP teacher
+ofq_tpu/utils/flops.py (50.85 GFLOP/img: QKR student fwd+bwd + FP teacher
 fwd), cross-checked against XLA's HloCostAnalysis in tests/test_flops.py.
 MFU = defensible numerator x measured denominator; it is the number to
 trust across rounds.

@@ -207,17 +207,29 @@ class Runner:
         # structure, not from the student policy: the destination may be
         # the float/quantized teacher or the student.
         dest = variables["params"]
-        common_blocks = [
-            k for k in dest
-            if k.startswith("blocks_") and k in loaded]
+        common = [k for k in dest
+                  if k in loaded and isinstance(dest[k], dict)]
+        # covers DeiT 'blocks_i' AND Swin 'features_f_b' modules
         needs_split = any(
-            "q_kernel" in dest[b].get("attn", {}) and
-            "qkv" in loaded[b].get("attn", {})
-            for b in common_blocks)
+            isinstance(dest[b].get("attn"), dict)
+            and "q_kernel" in dest[b]["attn"]
+            and "qkv" in (loaded[b].get("attn") or {})
+            for b in common)
         if needs_split:
-            loaded = split_qkv_for_qkr(loaded, len(common_blocks))
+            loaded = split_qkv_for_qkr(loaded)
         merged = merge_pretrained(dest, loaded)
-        return {**variables, "params": jax.tree.map(jnp.asarray, merged)}
+        out = {**variables, "params": jax.tree.map(jnp.asarray, merged)}
+        # overlay the checkpoint's OTHER variable collections too —
+        # dropping them would eval a --replace-ln-by-bn model with
+        # calibration-init batch_stats (mean 0 / var 1: near-random
+        # top-1) and reset LsqImg's sticky quant_stats signedness
+        for coll, tree in state.params.items():
+            if coll == "params" or coll not in variables:
+                continue
+            mc = merge_pretrained(variables[coll],
+                                  jax.tree.map(np.asarray, tree))
+            out[coll] = jax.tree.map(jnp.asarray, mc)
+        return out
 
     def load_pretrained(self, params):
         args = self.args
@@ -244,10 +256,14 @@ class Runner:
             if args.model_type == "swin":
                 loaded = convert_swin(sd, img_size=args.img_size)
             else:
-                depth = self.model.cfg.depth
-                loaded = convert_deit(sd, depth=depth, img_size=args.img_size)
-                if self.policy.qk_reparam:
-                    loaded = split_qkv_for_qkr(loaded, depth)
+                loaded = convert_deit(sd, depth=self.model.cfg.depth,
+                                      img_size=args.img_size)
+            if self.policy.qk_reparam:
+                # both families: a QKR student has q/k/v kernels where the
+                # checkpoint has fused qkv; without the split every
+                # attention projection would silently train from random
+                # init (merge_pretrained skips keys absent from dest)
+                loaded = split_qkv_for_qkr(loaded)
         else:  # our own orbax/npz export
             import pickle
 

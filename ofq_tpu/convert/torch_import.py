@@ -197,13 +197,26 @@ def convert_swin(sd: Mapping[str, np.ndarray], *,
     return tree
 
 
-def split_qkv_for_qkr(params: Dict[str, Any], depth: int) -> Dict[str, Any]:
+def split_qkv_for_qkr(params: Dict[str, Any],
+                      depth: int | None = None) -> Dict[str, Any]:
     """FP warm start for a QKR model: split each fused qkv kernel into
-    q/k/v thirds (reference attention.py:130-138).  Operates on a converted
-    *float* DeiT tree in place."""
-    for i in range(depth):
-        attn = params[f"blocks_{i}"]["attn"]
-        if "qkv" in attn and "q_kernel" not in attn:
+    q/k/v thirds (reference attention.py:130-138).  Operates on a
+    converted *float* tree in place.
+
+    Walks the tree STRUCTURALLY (any module whose 'attn' child carries a
+    fused 'qkv'), so it covers DeiT's `blocks_i/attn` and Swin's
+    `features_f_b/attn` alike — the old depth-indexed walk silently
+    skipped Swin, leaving every attention projection at random init on a
+    QKR warm start.  `depth` is accepted for API compatibility and
+    ignored."""
+    del depth
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return
+        attn = node.get("attn")
+        if (isinstance(attn, dict) and "qkv" in attn
+                and "q_kernel" not in attn):
             k = attn.pop("qkv")
             kern = k["kernel"]  # (C, 3C)
             C = kern.shape[0]
@@ -212,6 +225,10 @@ def split_qkv_for_qkr(params: Dict[str, Any], depth: int) -> Dict[str, Any]:
             attn["v_kernel"] = kern[:, 2 * C:]
             if "bias" in k:
                 attn["v_bias"] = k["bias"][2 * C:]
+        for v in node.values():
+            walk(v)
+
+    walk(params)
     return params
 
 

@@ -118,7 +118,10 @@ class Block(nn.Module):
     drop_path: float = 0.0
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, deterministic: bool = True):
+    def __call__(self, x: jax.Array, deterministic: bool = True):
+        # `deterministic` is positional so nn.remat can pin it static
+        # (static_argnums below) — a traced bool crashes flax Dropout's
+        # `if deterministic:` under remat with any nonzero dropout rate
         cfg, pol = self.cfg, self.policy
         attn_path = f"blocks.{self.index}.attn"
         mlp_path = f"blocks.{self.index}.mlp"
@@ -249,11 +252,13 @@ class VisionTransformer(nn.Module):
                for i in range(cfg.depth)]
         block_cls = Block
         if cfg.remat:
-            block_cls = nn.remat(Block, static_argnums=())
+            # deterministic (arg 2, after self/x) must be STATIC: flax
+            # Dropout and the drop-path guard branch on it in Python
+            block_cls = nn.remat(Block, static_argnums=(2,))
         for i in range(cfg.depth):
             x, info = block_cls(
                 cfg=cfg, policy=pol, index=i, drop_path=dpr[i],
-                name=f"blocks_{i}")(x, deterministic=deterministic)
+                name=f"blocks_{i}")(x, deterministic)
             attn_infos.append(info)
             features.append(x)
 

@@ -357,6 +357,7 @@ class PatchMerging(nn.Module):
     qpath: str  # e.g. "features.2.reduction"
     ln_eps: float = 1e-5
     compute_dtype: str | None = None
+    matmul_impl: str | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -386,18 +387,19 @@ class PatchMerging(nn.Module):
                 input_bits=pol.act.bit, symmetric=True,
                 aq_learnable=pol.act.learnable, use_bias=True,
                 compute_dtype=self.compute_dtype,
+                matmul_impl=self.matmul_impl,
                 name="reduction")(x)
         return nn.Dense(2 * self.dim, use_bias=False, name="reduction")(x)
 
 
 
 def _norm(eps: float, name: str, compute_dtype):
-    # pin the dtype under the bf16 stream: flax's default dtype inference
-    # would promote bf16 inputs with fp32 scale/bias back to fp32 at every
-    # norm (statistics still accumulate in fp32 internally)
-    import jax.numpy as _jnp
-    dtype = _jnp.dtype(compute_dtype) if compute_dtype is not None else None
-    return nn.LayerNorm(epsilon=eps, dtype=dtype, name=name)
+    """Swin's LayerNorms via the ONE norm constructor (deit.make_norm),
+    so the bf16 dtype-pinning policy can never diverge between families
+    (Swin has no LN->BN recipe, hence 'layernorm' fixed)."""
+    from .deit import make_norm
+
+    return make_norm("layernorm", eps, name, True, compute_dtype)
 
 class SwinBlock(nn.Module):
     cfg: SwinConfig
@@ -522,6 +524,7 @@ class SwinTransformer(nn.Module):
                     dim=dim, policy=pol,
                     qpath=f"features.{feat_idx}.reduction",
                     ln_eps=cfg.ln_eps, compute_dtype=cfg.compute_dtype,
+                    matmul_impl=cfg.matmul_impl,
                     name=f"features_{feat_idx}")(x)
                 feat_idx += 1
                 dim *= 2

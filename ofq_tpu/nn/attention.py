@@ -404,6 +404,9 @@ class QAttention(nn.Module):
         attn_info = None
         fused_ok = (
             self.attn_impl in ("fused", "remat") and not self.qqkkvv
+            and self.input_bits < 32  # weight-only: LsqAct declares no
+            # quan_softmax scale at bit>=32, so the fused path's
+            # _SoftmaxScaleParam would demand a param init never created
             and (self.attn_drop == 0.0 or deterministic)
             and not self.is_initializing())
         if fused_ok:
@@ -505,6 +508,9 @@ class QAttentionQKR(nn.Module):
         # so the quan_softmax scale gets its data-dependent init.
         fused_ok = (
             self.attn_impl in ("fused", "remat") and not self.qqkkvv
+            and self.input_bits < 32  # weight-only: LsqAct declares no
+            # quan_softmax scale at bit>=32, so the fused path's
+            # _SoftmaxScaleParam would demand a param init never created
             and (self.attn_drop == 0.0 or deterministic)
             and not self.is_initializing())
         if fused_ok:

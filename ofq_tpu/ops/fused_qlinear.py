@@ -165,7 +165,11 @@ def _fused_fwd(x, kernel, s, b_pre, b_post, bias,
     y2 = _fwd_call(x2, s_full, b_pre, kernel, sw, bvec,
                    a_lo=a_lo, a_hi=a_hi, n_w=n_w, interpret=interpret,
                    out_dtype=jnp.float32)
-    y = y2.reshape(*B_shape, kernel.shape[1])
+    # fp32 accumulation inside the kernel, but the OUTPUT follows the
+    # stream dtype like the composed/int8 paths — returning fp32 from a
+    # bf16-stream QLinear silently un-did the compute-dtype policy for
+    # everything downstream (residuals, norms, attention einsums)
+    y = y2.reshape(*B_shape, kernel.shape[1]).astype(x.dtype)
     return y, (x, kernel, s, b_pre, b_post)
 
 

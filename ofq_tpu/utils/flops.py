@@ -103,9 +103,11 @@ def deit_step_flops(*, img_size: int = 224, patch_size: int = 16,
     s_sites = _vit_forward_macs_per_img(qk_reparam=qk_reparam, **common)
     g = 2.0 / 1e9  # MACs -> GFLOP
     student_fwd = sum(s_sites.values()) * g
-    # backward: 2x every site except patch_embed (no input gradient)
-    student_bwd = (2.0 * (sum(s_sites.values()) - s_sites["patch_embed"])
-                   + s_sites["patch_embed"]) * g
+    # backward: 2x every site INCLUDING patch_embed — the quantized patch
+    # embed needs the input-gradient matmul too (trainable ImageBias and
+    # the LSQ image scale sit upstream of the patchify matmul, conv.py);
+    # only a float patch embed on raw images could skip dX
+    student_bwd = 2.0 * sum(s_sites.values()) * g
     teacher_fwd = 0.0
     t_sites = {}
     if teacher:
@@ -165,7 +167,9 @@ def swin_t_step_flops(*, img_size: int = 224, num_classes: int = 1000,
     t_macs += patch + head
     g = 2.0 / 1e9
     student_fwd = s_macs * g
-    student_bwd = (2 * (s_macs - patch) + patch) * g
+    # 2x incl. the patch embed: its quantizer params need dX (see
+    # deit_step_flops)
+    student_bwd = 2 * s_macs * g
     teacher_fwd = t_macs * g if teacher else 0.0
     return StepFlops(student_fwd=round(student_fwd, 3),
                      student_bwd=round(student_bwd, 3),

@@ -152,48 +152,59 @@ class TestDeiTConvert:
             merged["head"]["weight_quant"]["s"], sd["head.lsqw_fn.s"])
 
 
+def fake_fp_swin_sd(cfg, rng):
+    """torchvision-shaped FP Swin state dict for the tiny 2-stage config."""
+    C = cfg.embed_dim
+    sd = {
+        "features.0.0.weight": rng.normal(size=(C, 3, 4, 4)),
+        "features.0.0.bias": rng.normal(size=(C,)),
+        "features.0.2.weight": rng.normal(size=(C,)),
+        "features.0.2.bias": rng.normal(size=(C,)),
+        "norm.weight": rng.normal(size=(2 * C,)),
+        "norm.bias": rng.normal(size=(2 * C,)),
+        "head.weight": rng.normal(size=(10, 2 * C)),
+        "head.bias": rng.normal(size=(10,)),
+        "features.2.norm.weight": rng.normal(size=(4 * C,)),
+        "features.2.norm.bias": rng.normal(size=(4 * C,)),
+        "features.2.reduction.weight": rng.normal(size=(2 * C, 4 * C)),
+    }
+    for fi, dim, heads in ((1, C, 2), (3, 2 * C, 4)):
+        p = f"features.{fi}.0"
+        n = (2 * cfg.window_size - 1) ** 2
+        sd |= {
+            f"{p}.norm1.weight": rng.normal(size=(dim,)),
+            f"{p}.norm1.bias": rng.normal(size=(dim,)),
+            f"{p}.norm2.weight": rng.normal(size=(dim,)),
+            f"{p}.norm2.bias": rng.normal(size=(dim,)),
+            f"{p}.attn.qkv.weight": rng.normal(size=(3 * dim, dim)),
+            f"{p}.attn.qkv.bias": rng.normal(size=(3 * dim,)),
+            f"{p}.attn.proj.weight": rng.normal(size=(dim, dim)),
+            f"{p}.attn.proj.bias": rng.normal(size=(dim,)),
+            f"{p}.attn.relative_position_bias_table":
+                rng.normal(size=(n, heads)),
+            f"{p}.mlp.0.weight": rng.normal(size=(4 * dim, dim)),
+            f"{p}.mlp.0.bias": rng.normal(size=(4 * dim,)),
+            f"{p}.mlp.3.weight": rng.normal(size=(dim, 4 * dim)),
+            f"{p}.mlp.3.bias": rng.normal(size=(dim,)),
+        }
+    return {k: np.asarray(v, np.float32) for k, v in sd.items()}
+
+
+def _tiny_swin_cfg():
+    from ofq_tpu.models.swin import SwinConfig
+
+    return SwinConfig(img_size=32, patch_size=4, embed_dim=12,
+                      depths=(1, 1), num_heads=(2, 4), window_size=4,
+                      num_classes=10)
+
+
 class TestSwinConvert:
     def test_fp_swin_roundtrip(self):
-        from ofq_tpu.models.swin import SwinConfig, SwinTransformer
+        from ofq_tpu.models.swin import SwinTransformer
 
-        cfg = SwinConfig(img_size=32, patch_size=4, embed_dim=12,
-                         depths=(1, 1), num_heads=(2, 4), window_size=4,
-                         num_classes=10)
+        cfg = _tiny_swin_cfg()
         rng = np.random.default_rng(3)
-        C = cfg.embed_dim
-        sd = {
-            "features.0.0.weight": rng.normal(size=(C, 3, 4, 4)),
-            "features.0.0.bias": rng.normal(size=(C,)),
-            "features.0.2.weight": rng.normal(size=(C,)),
-            "features.0.2.bias": rng.normal(size=(C,)),
-            "norm.weight": rng.normal(size=(2 * C,)),
-            "norm.bias": rng.normal(size=(2 * C,)),
-            "head.weight": rng.normal(size=(10, 2 * C)),
-            "head.bias": rng.normal(size=(10,)),
-            "features.2.norm.weight": rng.normal(size=(4 * C,)),
-            "features.2.norm.bias": rng.normal(size=(4 * C,)),
-            "features.2.reduction.weight": rng.normal(size=(2 * C, 4 * C)),
-        }
-        for fi, dim, heads in ((1, C, 2), (3, 2 * C, 4)):
-            p = f"features.{fi}.0"
-            n = (2 * cfg.window_size - 1) ** 2
-            sd |= {
-                f"{p}.norm1.weight": rng.normal(size=(dim,)),
-                f"{p}.norm1.bias": rng.normal(size=(dim,)),
-                f"{p}.norm2.weight": rng.normal(size=(dim,)),
-                f"{p}.norm2.bias": rng.normal(size=(dim,)),
-                f"{p}.attn.qkv.weight": rng.normal(size=(3 * dim, dim)),
-                f"{p}.attn.qkv.bias": rng.normal(size=(3 * dim,)),
-                f"{p}.attn.proj.weight": rng.normal(size=(dim, dim)),
-                f"{p}.attn.proj.bias": rng.normal(size=(dim,)),
-                f"{p}.attn.relative_position_bias_table":
-                    rng.normal(size=(n, heads)),
-                f"{p}.mlp.0.weight": rng.normal(size=(4 * dim, dim)),
-                f"{p}.mlp.0.bias": rng.normal(size=(4 * dim,)),
-                f"{p}.mlp.3.weight": rng.normal(size=(dim, 4 * dim)),
-                f"{p}.mlp.3.bias": rng.normal(size=(dim,)),
-            }
-        sd = {k: np.asarray(v, np.float32) for k, v in sd.items()}
+        sd = fake_fp_swin_sd(cfg, rng)
         tree = convert_swin(sd, depths=cfg.depths, img_size=cfg.img_size)
         model = SwinTransformer(cfg=cfg)
         x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)), jnp.float32)
@@ -205,6 +216,49 @@ class TestSwinConvert:
         np.testing.assert_allclose(
             merged["features_2"]["reduction"]["kernel"],
             sd["features.2.reduction.weight"].T)
+        logits, _ = model.apply(
+            {"params": jax.tree.map(jnp.asarray, merged)}, x, train=False)
+        assert bool(jnp.isfinite(logits).all())
+
+    def test_swin_qkv_split_for_qkr(self):
+        """Swin QKR warm start (round-3 review finding): the structural
+        split must reach `features_f_b/attn` modules — the old
+        depth-indexed walk only covered DeiT's `blocks_i`, so every Swin
+        attention projection silently trained from random init under
+        --qk_reparam --initial-checkpoint."""
+        from ofq_tpu.models.swin import SwinTransformer
+        from ofq_tpu.quant import default_swin_qmodules
+
+        cfg = _tiny_swin_cfg()
+        rng = np.random.default_rng(4)
+        sd = fake_fp_swin_sd(cfg, rng)
+        tree = convert_swin(sd, depths=cfg.depths, img_size=cfg.img_size)
+        tree = split_qkv_for_qkr(tree)
+        dim = cfg.embed_dim
+        attn = tree["features_1_0"]["attn"]
+        assert "qkv" not in attn
+        w = sd["features.1.0.attn.qkv.weight"]  # torch (3C, C)
+        np.testing.assert_allclose(attn["q_kernel"], w[:dim].T)
+        np.testing.assert_allclose(attn["k_kernel"], w[dim:2 * dim].T)
+        np.testing.assert_allclose(attn["v_kernel"], w[2 * dim:].T)
+        np.testing.assert_allclose(
+            attn["v_bias"], sd["features.1.0.attn.qkv.bias"][2 * dim:])
+
+        # and it must actually LAND in a QKR-quantized Swin student —
+        # merge_pretrained silently skips mismatched keys, which is how
+        # the bug hid
+        pol = policy_from_args(wq_bitw=2, aq_bitw=2,
+                               qmodules=default_swin_qmodules(),
+                               qk_reparam=True)
+        model = SwinTransformer(cfg=cfg, policy=pol)
+        x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)), jnp.float32)
+        init = model.init({"params": jax.random.key(0)}, x)
+        merged = merge_pretrained(init["params"], tree)
+        np.testing.assert_allclose(
+            merged["features_1_0"]["attn"]["q_kernel"], w[:dim].T)
+        np.testing.assert_allclose(
+            merged["features_3_0"]["attn"]["v_kernel"],
+            sd["features.3.0.attn.qkv.weight"][4 * dim:].T)
         logits, _ = model.apply(
             {"params": jax.tree.map(jnp.asarray, merged)}, x, train=False)
         assert bool(jnp.isfinite(logits).all())
