@@ -215,7 +215,9 @@ def main():
     # DeiT-B's int8 compile, and the headline lever is already proven on
     # DeiT-S/Swin.
     for key, impl, mdl, b in (
-            ("swin_t_imgs_per_sec", "int8", "swin_t", 64),
+            # B48 is the measured Swin int8 knee (sweep B48/64/80/96:
+            # 533/525/513/495 img/s — benchmarks/round3_measurements.json)
+            ("swin_t_imgs_per_sec", "int8", "swin_t", 48),
             ("deit_b_imgs_per_sec", None,
              "deit_base_distilled_patch16_224", 64)):
         try:
