@@ -15,7 +15,10 @@ cover the XLA-dot bf16 path, the bit-faithful fp32 path, and the opt-in
 Pallas kernels (--matmul-impl pallas/fused), all on the real chip.
 
 The HEADLINE metric is MFU against this chip's measured steady-state
-bf16 matmul peak (benchmarks/chip_calibration.py: ~234 TFLOP/s pipelined),
+matmul peak (234.6 TFLOP/s: the int8 MXU rate at 4096^3,
+benchmarks/int_dot_rates.py, 8-lane pipelined — the headline step's
+heavy dots run on the int8 path; the measured bf16 rate is 150.7, so
+this denominator is the CONSERVATIVE choice),
 with the step's model FLOPs from the single authoritative enumeration in
 ofq_tpu/utils/flops.py (50.85 GFLOP/img: QKR student fwd+bwd + FP teacher
 fwd), cross-checked against XLA's HloCostAnalysis in tests/test_flops.py.
@@ -47,7 +50,8 @@ import jax.numpy as jnp
 import numpy as np
 
 A100_ESTIMATE_IMGS_PER_SEC = 320.0
-MEASURED_PEAK_TFLOPS = 234.0  # benchmarks/chip_calibration.py, pipelined bf16
+MEASURED_PEAK_TFLOPS = 234.0  # benchmarks/int_dot_rates.py: int8 MXU peak at
+# 4096^3 (bf16 measures 150.7) — conservative denominator for the int8-core step
 BATCH = 144  # measured single-chip knee for the int8 headline (sweep
 # B128..B256: 1255/1327/1306/1283/1295/1166 img/s at 128/144/160/176/
 # 192/256 — benchmarks/round3_measurements.json; B144 ~= the published
@@ -241,7 +245,7 @@ def main():
     print(json.dumps({
         "metric": "deit_s_w2a2_qkr_qat_train_mfu",
         "value": round(mfu, 4),
-        "unit": "MFU vs measured 234 TFLOP/s bf16 peak",
+        "unit": "MFU vs measured 234 TFLOP/s int8 MXU peak",
         "vs_baseline": round(imgs_per_sec / A100_ESTIMATE_IMGS_PER_SEC, 3),
         "imgs_per_sec_per_chip": round(imgs_per_sec, 2),
         "step_gflops_per_img": round(gflops, 2),
