@@ -1,0 +1,163 @@
+"""Randomized quantizer fuzz-differential vs the ACTUAL reference code.
+
+The fixed-shape torch-differential tests (test_torch_differential.py)
+pin the shipped recipes; this file fuzzes the quantizer PRIMITIVES over
+random shapes x bit-widths x ranges, comparing values AND gradients
+against the reference modules (src/quantization/quantizer/{lsq,statsq})
+running under reference_loader's CPU shims.  Axis-convention mistakes
+(the class of bug the round-3 AGC finding belonged to) are exactly what
+this catches: every reference scale/group convention must reproduce
+under the (in, out)/natural layouts this repo uses.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+
+import jax
+import jax.numpy as jnp
+
+import reference_loader as rl
+
+rl.install()
+
+
+def _torch_value_and_grads(module, x_np, cot_np, s_attr="s"):
+    import torch
+
+    x = torch.tensor(x_np, requires_grad=True)
+    y = module(x)  # lazy init on first forward (LSQ)
+    if x.grad is not None:
+        x.grad = None
+    y.backward(torch.tensor(cot_np))
+    s = getattr(module, s_attr, None)
+    ds = (s.grad.detach().numpy()
+          if s is not None and getattr(s, "grad", None) is not None else None)
+    return (y.detach().numpy(), x.grad.detach().numpy(), ds)
+
+
+class TestStatsQFuzz:
+    @pytest.mark.parametrize("seed,bits,shape", [
+        (0, 2, (8, 16)), (1, 3, (48, 24)), (2, 4, (5, 7)),
+        (3, 2, (33, 129)), (4, 4, (128, 3)),
+    ])
+    def test_2d_value_and_grad(self, seed, bits, shape):
+        from src.quantization.quantizer.statsq import StatsQuantizer
+
+        from ofq_tpu.quant.statsq import statsq_quantize
+
+        rng = np.random.default_rng(seed)
+        # torch (out, in); ours is the transpose (in, out)
+        w_t = (rng.normal(size=shape) * rng.uniform(0.2, 3)).astype(np.float32)
+        cot = rng.normal(size=shape).astype(np.float32)
+        y_t, dx_t, _ = _torch_value_and_grads(
+            StatsQuantizer(bits, clip_learnable=False), w_t, cot)
+
+        f = lambda w: statsq_quantize(w, bits)
+        y_j, vjp = jax.vjp(f, jnp.asarray(w_t.T))
+        (dx_j,) = vjp(jnp.asarray(cot.T))
+        np.testing.assert_allclose(np.asarray(y_j).T, y_t, rtol=1e-6,
+                                   atol=1e-6)
+        # STE: gradient is exactly the cotangent
+        np.testing.assert_array_equal(np.asarray(dx_j).T, dx_t)
+
+    @pytest.mark.parametrize("seed,bits,shape", [
+        (5, 2, (4, 9, 6)), (6, 3, (2, 33, 17)),
+    ])
+    def test_3d_value(self, seed, bits, shape):
+        """The reference 3-D branch: scale = 2*mean over dims (0, -1),
+        keepdim (1, dim, 1) — our reduce_axis must reproduce it."""
+        from src.quantization.quantizer.statsq import StatsQuantizer
+
+        from ofq_tpu.quant.statsq import statsq_scale
+
+        rng = np.random.default_rng(seed)
+        w = rng.normal(size=shape).astype(np.float32)
+        import torch
+
+        m = StatsQuantizer(bits, clip_learnable=False)
+        y_t = m(torch.tensor(w)).detach().numpy()
+        # reproduce with our primitives: per-middle-axis scale
+        s = 2.0 * np.mean(np.abs(w), axis=(0, 2), keepdims=True)
+        np.testing.assert_allclose(
+            np.asarray(statsq_scale(jnp.asarray(w).transpose(1, 0, 2)
+                                    .reshape(shape[1], -1),
+                                    reduce_axis=-1)).ravel(),
+            s.ravel(), rtol=1e-6)
+        n = float(2 ** (bits - 1))
+        clipped = np.clip(w / s, -1.0, 1.0 - 1e-6)
+        q = s * ((np.round(clipped * n - 0.5) + 0.5) / n)
+        np.testing.assert_allclose(y_t, q, rtol=1e-5, atol=1e-6)
+
+
+class TestLsqFuzz:
+    @pytest.mark.parametrize("seed,bits,all_positive,shape", [
+        (0, 2, False, (4, 9, 12)),    # (B, N, C) per-token
+        (1, 3, False, (2, 17, 5)),
+        (2, 4, True, (3, 8, 16)),     # unsigned (post-softmax/fc2 ranges)
+        (3, 8, False, (2, 5, 7)),
+        (4, 2, False, (2, 3, 11, 6)),  # (B, H, N, d) 4-D per-token branch
+        (5, 4, True, (2, 2, 9, 8)),
+    ])
+    def test_per_token_value_and_grads(self, seed, bits, all_positive,
+                                       shape):
+        """LsqQuantizer (axis -2): values, dx AND the learned-scale
+        gradient (incl. the reference's idiosyncratic per-shape
+        grad-scale factor) must match the torch module exactly."""
+        from src.quantization.quantizer.lsq import LsqQuantizer
+
+        from ofq_tpu.quant.lsq import lsq_quantize
+
+        rng = np.random.default_rng(100 + seed)
+        x_np = (rng.normal(size=shape) * rng.uniform(0.3, 2)).astype(
+            np.float32)
+        if all_positive:
+            x_np = np.abs(x_np)
+        cot = rng.normal(size=shape).astype(np.float32)
+
+        m = LsqQuantizer(bits, all_positive=all_positive, per_channel=True,
+                         learnable=True)
+        y_t, dx_t, ds_t = _torch_value_and_grads(m, x_np, cot)
+        s0 = m.s.detach().numpy().copy()
+
+        f = lambda x, s: lsq_quantize(x, s, bits,
+                                      all_positive=all_positive,
+                                      channel_axis=-2)
+        y_j, vjp = jax.vjp(f, jnp.asarray(x_np), jnp.asarray(s0))
+        dx_j, ds_j = vjp(jnp.asarray(cot))
+        np.testing.assert_allclose(np.asarray(y_j), y_t, rtol=1e-5,
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(dx_j), dx_t, rtol=1e-5,
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ds_j), ds_t, rtol=1e-4,
+                                   atol=1e-6)
+
+    @pytest.mark.parametrize("seed,bits,shape", [
+        (0, 2, (4, 9, 12)), (1, 4, (2, 17, 6)),
+    ])
+    def test_per_channel_4v_value_and_grads(self, seed, bits, shape):
+        """LsqQuantizer4v (axis -1, true per-channel)."""
+        from src.quantization.quantizer.lsq import LsqQuantizer4v
+
+        from ofq_tpu.quant.lsq import lsq_quantize
+
+        rng = np.random.default_rng(200 + seed)
+        x_np = rng.normal(size=shape).astype(np.float32)
+        cot = rng.normal(size=shape).astype(np.float32)
+        m = LsqQuantizer4v(bits, all_positive=False, per_channel=True,
+                           learnable=True)
+        y_t, dx_t, ds_t = _torch_value_and_grads(m, x_np, cot)
+        s0 = m.s.detach().numpy().copy()
+
+        f = lambda x, s: lsq_quantize(x, s, bits, channel_axis=-1)
+        y_j, vjp = jax.vjp(f, jnp.asarray(x_np), jnp.asarray(s0))
+        dx_j, ds_j = vjp(jnp.asarray(cot))
+        np.testing.assert_allclose(np.asarray(y_j), y_t, rtol=1e-5,
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(dx_j), dx_t, rtol=1e-5,
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ds_j), ds_t, rtol=1e-4,
+                                   atol=1e-6)
