@@ -209,20 +209,15 @@ def main():
     secondary["fp32_imgs_per_sec"] = round(measure(iters=5, rounds=2), 1)
     # the other recipe families, measured on the same chip (BASELINE
     # configs 4 / DeiT-B reach check): short runs, same step anatomy.
-    # Swin uses the int8 headline config (fastest: 519 vs 494 at B64);
-    # DeiT-B stays on bf16 XLA dots — its int8 run once failed to finish
-    # within 23 min through the tunnel.  Triaged 2026-08-17: the same
-    # DeiT-B int8 step compiles AND runs fine on local CPU XLA, and the
-    # tunnel was later observed hanging wholesale (even jax.devices()),
-    # so the stall was the tunnel, not a 768-width compile pathology.
-    # Kept on XLA dots anyway: one bench run budget doesn't fit re-paying
-    # DeiT-B's int8 compile, and the headline lever is already proven on
-    # DeiT-S/Swin.
+    # Every family runs the int8 headline config — fastest measured for
+    # all three (DeiT-B's earlier int8 stall was triaged to a wholesale
+    # tunnel hang on 2026-08-17; re-measured 2026-08-18: 398.6 int8 vs
+    # 352.7 bf16 img/s at B64, compile cached).
     for key, impl, mdl, b in (
             # B48 is the measured Swin int8 knee (sweep B48/64/80/96:
             # 533/525/513/495 img/s — benchmarks/round3_measurements.json)
             ("swin_t_imgs_per_sec", "int8", "swin_t", 48),
-            ("deit_b_imgs_per_sec", None,
+            ("deit_b_imgs_per_sec", "int8",
              "deit_base_distilled_patch16_224", 64)):
         try:
             secondary[key] = round(

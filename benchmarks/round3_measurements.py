@@ -156,6 +156,10 @@ def main():
     res["deit_b_bf16_B64"] = round(bench.measure(
         compute_dtype="bfloat16", iters=max(iters // 2, 2), rounds=2,
         batch=64, model="deit_base_distilled_patch16_224"), 1)
+    res["deit_b_int8_B64"] = round(bench.measure(
+        matmul_impl="int8", compute_dtype="bfloat16",
+        iters=max(iters // 2, 2), rounds=2,
+        batch=64, model="deit_base_distilled_patch16_224"), 1)
     res["swin_window_attn_micro"] = swin_window_attention_micro()
     res["serving"] = serving_rates()
 
