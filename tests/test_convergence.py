@@ -21,7 +21,8 @@ TINY = DeiTConfig(img_size=16, patch_size=8, embed_dim=24, depth=2,
 
 
 def _overfit(policy, loss_kind="ce", steps=40, cga=None, teacher=None,
-             tparams=None, lr=5e-3, compute_dtype=None, matmul_impl=None):
+             tparams=None, lr=5e-3, compute_dtype=None, matmul_impl=None,
+             master_dtype=None):
     cfg = TINY
     if compute_dtype:
         cfg = dataclasses.replace(cfg, compute_dtype=compute_dtype)
@@ -32,10 +33,14 @@ def _overfit(policy, loss_kind="ce", steps=40, cga=None, teacher=None,
     x = jnp.asarray(rng.normal(size=(8, 16, 16, 3)), jnp.float32)
     batch = {"image": x, "label": jnp.arange(8) % 4}
     params = model.init({"params": jax.random.key(0)}, x)
+    if master_dtype == "bfloat16":
+        params = {**params, "params": jax.tree.map(
+            lambda p: p.astype(jnp.bfloat16), params["params"])}
     tx = make_optimizer(lambda _: lr, weight_decay=0.0)
     state = TrainState.create(params, tx)
     step = jax.jit(make_train_step(
-        model, tx, teacher=teacher, loss_kind=loss_kind, cga=cga))
+        model, tx, teacher=teacher, loss_kind=loss_kind, cga=cga,
+        master_dtype=master_dtype))
     losses = []
     for i in range(steps):
         state, m = step(state, batch, jax.random.key(i), tparams)
@@ -65,6 +70,18 @@ class TestOverfit:
                                qk_reparam=True, qk_reparam_type=1)
         losses = _overfit(
             pol, cga=dict(bits=2, boundary_range=0.005, qk_reparam=True))
+        assert losses[-1] < 0.7 * losses[0], losses[::8]
+
+    def test_cga_learns_under_bf16_masters(self):
+        """BASELINE config-5 combo + CGA: the freeze-band test must run
+        in fp32 (statsq_b4_round) — the pre-fix bf16 band math froze
+        nearly every weight, stalling training (round-3 review)."""
+        pol = policy_from_args(wq_bitw=2, aq_bitw=2,
+                               qmodules=default_deit_qmodules(2),
+                               qk_reparam=True, qk_reparam_type=1)
+        losses = _overfit(
+            pol, cga=dict(bits=2, boundary_range=0.005, qk_reparam=True),
+            compute_dtype="bfloat16", master_dtype="bfloat16")
         assert losses[-1] < 0.7 * losses[0], losses[::8]
 
     def test_bf16_stream_learns(self):
