@@ -68,14 +68,15 @@ class TestExportRestore:
         params = model.init({"params": jax.random.key(0)}, x)
         return pol, model, params, x
 
-    @pytest.mark.parametrize("qk_reparam", [False, True])
-    def test_forward_parity_and_size(self, qk_reparam):
-        pol, model, params, x = self._build(qk_reparam)
+    @pytest.mark.parametrize("qk_reparam,bits", [(False, 2), (True, 2),
+                                                 (True, 3), (False, 4)])
+    def test_forward_parity_and_size(self, qk_reparam, bits):
+        pol, model, params, x = self._build(qk_reparam, bits=bits)
         ref_logits, _ = model.apply(params, x, train=False)
 
         exported = export_packed(
             jax.tree.map(np.asarray, params["params"]),
-            weight_bits=2, qk_reparam=qk_reparam,
+            weight_bits=bits, qk_reparam=qk_reparam,
             num_heads=TINY.num_heads)
         restored = restore_packed(exported)
 
