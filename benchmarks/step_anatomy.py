@@ -98,7 +98,7 @@ def build(variant: str, batch: int, dtype: str = None, attn_impl=None):
         # recipe parity: the published Swin-T QAT recipe trains with
         # drop_path 0.0 (reference configs/swin_t_imagenet.attn_q.yml:43,
         # mirrored in configs/swin_imagenet_qat.yml)
-        extra = {"drop_path_rate": 0.0}
+        extra = {"drop_path_rate": 0.0, "attn_impl": attn_impl}
         if remat_stages is not None:
             extra["remat_stages"] = remat_stages
     else:

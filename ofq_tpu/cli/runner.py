@@ -72,7 +72,11 @@ def build_model(args, policy, *, teacher: bool = False):
             # beats both the Pallas core and the remat tail end-to-end
             attn_impl = None
         if attn_impl and attn_impl != "xla":
-            if mtype == "deit":
+            if mtype == "deit" or attn_impl == "remat":
+                # 'remat' is supported for both families (Swin wraps only
+                # the window-attention tail); 'fused' stays DeiT-only —
+                # the Pallas core is a measured loss at 49-token windows
+                # (docs/DESIGN.md §5e)
                 over["attn_impl"] = attn_impl
             else:
                 _logger.warning(

@@ -69,6 +69,14 @@ class SwinConfig:
     # speed path (values/grads are bit-exact either way, see
     # tests/test_swin.py::test_remat_stages_bit_exact).
     remat_stages: Tuple[int, ...] = ()
+    # 'remat' wraps ONLY the window-attention tail (scores -> bias/mask ->
+    # softmax -> LSQ -> @v) in jax.checkpoint: its (Bn, H, 49, 49)
+    # intermediates (the padded-probability residuals DESIGN §5e measured
+    # at ~300 MB/stage-0 block) are recomputed in backward for ~3.8 GFLOP
+    # instead of stored — a different tradeoff from remat_stages, which
+    # recomputes entire blocks.  'fused' is not supported for Swin
+    # (measured exclusion, DESIGN §5e).
+    attn_impl: Optional[str] = None
 
 
 SWIN_TINY = SwinConfig()
@@ -184,6 +192,48 @@ class WindowAttentionBase(nn.Module):
         return attn.reshape(BnW, nH, n, n)
 
 
+def _remat_swin_tail(lhs, rhs, v, scale_param, rel_bias, mask, num_windows,
+                     *, bits, sm_scale, quantize_softmax, aq_learnable,
+                     einsum_spec):
+    """Window-attention tail under jax.checkpoint (SwinConfig.attn_impl
+    'remat'): scores -> rel-pos bias -> shift mask -> softmax -> LSQ ->
+    @v, with the (Bn, H, n, n) intermediates rematerialized in backward
+    instead of stored.  The softmax-LSQ scale is pre-processed OUTSIDE
+    the checkpoint exactly like nn/attention._remat_attention_tail (eps
+    clip with identity grad + grad-scale factor), so gradients match the
+    composed LsqAct path."""
+    from ..quant.lsq import grad_scale_factor
+    from ..quant.ste import clip_lower, grad_scale
+
+    Bn, N, H, _ = rhs.shape
+    if quantize_softmax:
+        gf = grad_scale_factor((Bn, H, N, N), bits, True, -2)
+        s = grad_scale(clip_lower(scale_param, 1e-5), gf)
+        if not aq_learnable:
+            s = jax.lax.stop_gradient(s)
+    else:
+        s = None
+
+    @jax.checkpoint
+    def tail(lhs, rhs, v, s, rel_bias, mask):
+        attn = jnp.einsum(einsum_spec, lhs, rhs) * sm_scale
+        attn = attn + rel_bias.astype(attn.dtype)
+        if mask is not None:
+            BnW, nH, n, _ = attn.shape
+            attn = attn.reshape(BnW // num_windows, num_windows, nH, n, n)
+            attn = attn + mask[None, :, None].astype(attn.dtype)
+            attn = attn.reshape(BnW, nH, n, n)
+        attn = jax.nn.softmax(attn, axis=-1)
+        if quantize_softmax:
+            thd = 2 ** bits - 1
+            sb = s[None, None, :, None].astype(attn.dtype)
+            u = jnp.clip(attn / sb, 0, thd)
+            attn = (u + jax.lax.stop_gradient(jnp.round(u) - u)) * sb
+        return jnp.einsum("bhnm,bmhd->bnhd", attn, v)
+
+    return tail(lhs, rhs, v, s, rel_bias, mask)
+
+
 class SwinAttention(WindowAttentionBase):
     """Float shifted-window attention (swin.py:62-170)."""
 
@@ -236,6 +286,7 @@ class QSwinAttention(WindowAttentionBase):
     proj_drop: float = 0.0
     quantize_softmax: bool = True
     matmul_impl: Optional[str] = None
+    attn_impl: Optional[str] = None  # 'remat' -> checkpointed tail
     compute_dtype: Optional[str] = None
     # serve --int-core: passthrough to the qkv/proj QLinears (the frozen
     # kernels + stored kernel_scale params run on the int8 MXU path)
@@ -279,17 +330,33 @@ class QSwinAttention(WindowAttentionBase):
             v = LearnableBias(C, name="move_v_aft")(v)
         v = v.reshape(Bn, n, H, d)
 
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * (d ** -0.5)
-        attn = attn + self.rel_pos_bias().astype(attn.dtype)
         num_windows = (geom[3] // self.window_size) * (geom[4] // self.window_size)
-        attn = self.apply_mask(attn, mask, num_windows)
-        attn = jax.nn.softmax(attn, axis=-1)
-        if self.quantize_softmax:
-            attn = LsqAct(self.input_bits, all_positive=True, channel_axis=-2,
-                          learnable=self.aq_learnable,
-                          name="quan_softmax")(attn)
-        attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(Bn, n, C)
+        remat_ok = (self.attn_impl == "remat" and self.input_bits < 32
+                    and (self.attn_drop == 0.0 or deterministic)
+                    and not self.is_initializing())
+        if remat_ok:
+            from ..nn.attention import _SoftmaxScaleParam
+
+            sp = (_SoftmaxScaleParam(n, name="quan_softmax")()
+                  if self.quantize_softmax else None)
+            out = _remat_swin_tail(
+                q, k, v, sp, self.rel_pos_bias(), mask, num_windows,
+                bits=self.input_bits, sm_scale=d ** -0.5,
+                quantize_softmax=self.quantize_softmax,
+                aq_learnable=self.aq_learnable,
+                einsum_spec="bnhd,bmhd->bhnm").reshape(Bn, n, C)
+        else:
+            attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * (d ** -0.5)
+            attn = attn + self.rel_pos_bias().astype(attn.dtype)
+            attn = self.apply_mask(attn, mask, num_windows)
+            attn = jax.nn.softmax(attn, axis=-1)
+            if self.quantize_softmax:
+                attn = LsqAct(self.input_bits, all_positive=True,
+                              channel_axis=-2, learnable=self.aq_learnable,
+                              name="quan_softmax")(attn)
+            attn = nn.Dropout(self.attn_drop,
+                              deterministic=deterministic)(attn)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(Bn, n, C)
         out = QLinear(C, name="proj", **lin_kwargs)(out)
         out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
         return self.finish(out, geom), None
@@ -309,6 +376,7 @@ class QSwinAttentionQKR(WindowAttentionBase):
     proj_drop: float = 0.0
     quantize_softmax: bool = True
     matmul_impl: Optional[str] = None
+    attn_impl: Optional[str] = None  # 'remat' -> checkpointed tail
     compute_dtype: Optional[str] = None
     # deployment mode (ofq_tpu/deploy.py): stored quantized W_qk product
     frozen_wqk: bool = False
@@ -327,17 +395,33 @@ class QSwinAttentionQKR(WindowAttentionBase):
         # path, W_qk product, 4-D qkx chain; composed / int8 / frozen
         xq, v, qkx, _, _ = qkr_quant_chain(self, tokens)
 
-        attn = jnp.einsum("bnc,bmhc->bhnm", xq, qkx) * (d ** -0.5)
-        attn = attn + self.rel_pos_bias().astype(attn.dtype)
         num_windows = (geom[3] // self.window_size) * (geom[4] // self.window_size)
-        attn = self.apply_mask(attn, mask, num_windows)
-        attn = jax.nn.softmax(attn, axis=-1)
-        if self.quantize_softmax:
-            attn = LsqAct(self.input_bits, all_positive=True, channel_axis=-2,
-                          learnable=self.aq_learnable,
-                          name="quan_softmax")(attn)
-        attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(Bn, n, C)
+        remat_ok = (self.attn_impl == "remat" and self.input_bits < 32
+                    and (self.attn_drop == 0.0 or deterministic)
+                    and not self.is_initializing())
+        if remat_ok:
+            from ..nn.attention import _SoftmaxScaleParam
+
+            sp = (_SoftmaxScaleParam(n, name="quan_softmax")()
+                  if self.quantize_softmax else None)
+            out = _remat_swin_tail(
+                xq, qkx, v, sp, self.rel_pos_bias(), mask, num_windows,
+                bits=self.input_bits, sm_scale=d ** -0.5,
+                quantize_softmax=self.quantize_softmax,
+                aq_learnable=self.aq_learnable,
+                einsum_spec="bnc,bmhc->bhnm").reshape(Bn, n, C)
+        else:
+            attn = jnp.einsum("bnc,bmhc->bhnm", xq, qkx) * (d ** -0.5)
+            attn = attn + self.rel_pos_bias().astype(attn.dtype)
+            attn = self.apply_mask(attn, mask, num_windows)
+            attn = jax.nn.softmax(attn, axis=-1)
+            if self.quantize_softmax:
+                attn = LsqAct(self.input_bits, all_positive=True,
+                              channel_axis=-2, learnable=self.aq_learnable,
+                              name="quan_softmax")(attn)
+            attn = nn.Dropout(self.attn_drop,
+                              deterministic=deterministic)(attn)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(Bn, n, C)
         out = QLinear(
             C, weight_bits=self.weight_bits, input_bits=self.input_bits,
             symmetric=True, aq_learnable=self.aq_learnable,
@@ -429,6 +513,7 @@ class SwinBlock(nn.Module):
                        wq_learnable=pol.weight.learnable,
                        quantize_softmax=pol.quantize_softmax,
                        matmul_impl=cfg.matmul_impl,
+                       attn_impl=cfg.attn_impl,
                        compute_dtype=cfg.compute_dtype,
                        frozen_int_bits=fib)
             if pol.qk_reparam:

@@ -152,6 +152,40 @@ class TestSwinQuant:
         for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    @pytest.mark.parametrize("qk_reparam", [False, True])
+    def test_attn_tail_remat_bit_exact(self, qk_reparam):
+        """attn_impl='remat' (checkpointed window-attention tail): same
+        param tree, identical values and grads vs the composed path —
+        incl. the quan_softmax scale, whose data-dependent init happens
+        on the composition branch (_SoftmaxScaleParam guard).  Measured
+        SLOWER on the v5e chip (489 vs 525 img/s, Swin-T int8 B48) like
+        every remat variant at this scale — shipped as a memory knob."""
+        pol = policy_from_args(
+            wq_bitw=2, aq_bitw=2, qmodules=default_swin_qmodules((1, 1)),
+            qk_reparam=qk_reparam, qk_reparam_type=0)
+        x = x_batch()
+        m_plain = SwinTransformer(cfg=SMALL, policy=pol)
+        m_remat = SwinTransformer(
+            cfg=dataclasses.replace(SMALL, attn_impl="remat"), policy=pol)
+        params = m_plain.init({"params": jax.random.key(0)}, x)
+        import jax.tree_util as tu
+
+        p2 = m_remat.init({"params": jax.random.key(0)}, x)
+        assert ({tu.keystr(k) for k, _ in tu.tree_flatten_with_path(params)[0]}
+                == {tu.keystr(k) for k, _ in tu.tree_flatten_with_path(p2)[0]})
+
+        def make_loss(m):
+            def loss(p):
+                logits, _ = m.apply(p, x, train=False)
+                return jnp.sum(logits.astype(jnp.float32) ** 2)
+            return loss
+
+        v1, g1 = jax.jit(jax.value_and_grad(make_loss(m_plain)))(params)
+        v2, g2 = jax.jit(jax.value_and_grad(make_loss(m_remat)))(params)
+        assert float(v1) == float(v2)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_cga_selection_swin(self):
         from ofq_tpu.train import freeze_masks
 
