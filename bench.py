@@ -52,10 +52,13 @@ import numpy as np
 A100_ESTIMATE_IMGS_PER_SEC = 320.0
 MEASURED_PEAK_TFLOPS = 234.0  # benchmarks/int_dot_rates.py: int8 MXU peak at
 # 4096^3 (bf16 measures 150.7) — conservative denominator for the int8-core step
-BATCH = 144  # measured single-chip knee for the int8 headline (sweep
-# B128..B256: 1255/1327/1306/1283/1295/1166 img/s at 128/144/160/176/
-# 192/256 — benchmarks/round3_measurements.json; B144 ~= the published
-# recipe's per-device batch 140)
+BATCH = 144  # measured single-chip knee for the int8 headline.  The
+# knee-finding sweep ran via benchmarks/step_anatomy.py (iters 8-10):
+# 1255/1327/1306/1283/1295/1166 img/s at B=128/144/160/176/192/256
+# (144 re-measured twice: 1327/1329).  round3_measurements.json carries
+# an independent shorter re-run (fewer iters, later tunnel phase) with
+# lower absolute rates but B144 still fastest.  B144 ~= the published
+# recipe's per-device batch 140.
 WARMUP = 3
 ITERS = 10
 
@@ -214,8 +217,9 @@ def main():
     # tunnel hang on 2026-08-17; re-measured 2026-08-18: 398.6 int8 vs
     # 352.7 bf16 img/s at B64, compile cached).
     for key, impl, mdl, b in (
-            # B48 is the measured Swin int8 knee (sweep B48/64/80/96:
-            # 533/525/513/495 img/s — benchmarks/round3_measurements.json)
+            # B48 is the measured Swin int8 knee (step_anatomy sweep
+            # B48/64/80/96: 533/525/513/495 img/s; round3_measurements.json
+            # carries independent B48/B64 re-runs)
             ("swin_t_imgs_per_sec", "int8", "swin_t", 48),
             ("deit_b_imgs_per_sec", "int8",
              "deit_base_distilled_patch16_224", 64)):

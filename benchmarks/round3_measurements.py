@@ -148,7 +148,7 @@ def main():
     res["swin_t_int8_B64"] = round(bench.measure(
         matmul_impl="int8", compute_dtype="bfloat16", iters=iters,
         rounds=2, batch=64, model="swin_t"), 1)
-    # B48 is the measured Swin int8 knee (sweep 48/64/80/96:
+    # B48 is the measured Swin int8 knee (step_anatomy sweep 48/64/80/96:
     # 533/525/513/495 img/s; bench.py's swin secondary runs B48)
     res["swin_t_int8_B48"] = round(bench.measure(
         matmul_impl="int8", compute_dtype="bfloat16", iters=iters,

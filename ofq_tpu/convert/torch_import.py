@@ -197,8 +197,7 @@ def convert_swin(sd: Mapping[str, np.ndarray], *,
     return tree
 
 
-def split_qkv_for_qkr(params: Dict[str, Any],
-                      depth: int | None = None) -> Dict[str, Any]:
+def split_qkv_for_qkr(params: Dict[str, Any]) -> Dict[str, Any]:
     """FP warm start for a QKR model: split each fused qkv kernel into
     q/k/v thirds (reference attention.py:130-138).  Operates on a
     converted *float* tree in place.
@@ -207,9 +206,7 @@ def split_qkv_for_qkr(params: Dict[str, Any],
     fused 'qkv'), so it covers DeiT's `blocks_i/attn` and Swin's
     `features_f_b/attn` alike — the old depth-indexed walk silently
     skipped Swin, leaving every attention projection at random init on a
-    QKR warm start.  `depth` is accepted for API compatibility and
-    ignored."""
-    del depth
+    QKR warm start."""
 
     def walk(node):
         if not isinstance(node, dict):

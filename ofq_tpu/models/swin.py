@@ -67,7 +67,7 @@ class SwinConfig:
     # spills at this scale, so the recompute FLOPs buy no saved traffic.
     # Keep it a memory-capacity knob for bigger models/batches, not a
     # speed path (values/grads are bit-exact either way, see
-    # tests/test_swin.py::test_remat_stages_bit_exact).
+    # tests/test_swin.py::test_remat_stages_matches_plain).
     remat_stages: Tuple[int, ...] = ()
     # 'remat' wraps ONLY the window-attention tail (scores -> bias/mask ->
     # softmax -> LSQ -> @v) in jax.checkpoint: its (Bn, H, 49, 49)

@@ -40,17 +40,20 @@ def wd_mask(params) -> object:
     return flat
 
 
-def unitwise_norm(x: jax.Array) -> jax.Array:
+def unitwise_norm(x: jax.Array, keep_axis: int = -1) -> jax.Array:
     """L2 norm per output unit (utils.py:8-12, timm unitwise semantics).
 
-    The reference keeps dim 0 of torch (out, in) / (O, I, kh, kw)
-    weights; this repo's kernels are Flax (in, out) / HWIO — the output
-    axis is LAST, so the norm reduces over every axis except -1
-    (differential-tested against the reference's adaptive_clip_grad in
-    tests/test_torch_differential.py)."""
+    The reference keeps dim 0.  For KERNELS that means the torch
+    (out, in) / (O, I, kh, kw) output axis, which in this repo's Flax
+    (in, out) / HWIO layout is LAST (keep_axis=-1); every other >=2-D
+    param (pos_embed, cls/dist tokens, relative-position tables) has the
+    SAME layout as torch, so the reference grouping is keep_axis=0.
+    Differential-tested against the reference's adaptive_clip_grad in
+    tests/test_torch_differential.py."""
     if x.ndim <= 1:
         return jnp.linalg.norm(x)
-    axes = tuple(range(x.ndim - 1))
+    keep = keep_axis % x.ndim
+    axes = tuple(a for a in range(x.ndim) if a != keep)
     return jnp.sqrt(jnp.sum(x * x, axis=axes, keepdims=True))
 
 
@@ -59,23 +62,41 @@ def adaptive_grad_clip(clip_factor: float = 0.01, eps: float = 1e-3
     """AGC: clip each unit's gradient to clip_factor * ||param||.
 
     Reference: utils.py:15-27 (`adaptive_clip_grad`), selected by
-    `--clip-mode agc`.
+    `--clip-mode agc`.  Per-leaf grouping matches the reference exactly:
+      * '*kernel' leaves (kernel/q_kernel/k_kernel/v_kernel) are stored
+        TRANSPOSED vs torch -> keep the last axis (the output units);
+      * a 2-D 'bias' leaf is ImageBias, which torch stores FLAT (one
+        224*224 vector, qbias.py:15-23) -> whole-tensor norm;
+      * every other >=2-D leaf keeps axis 0 like the reference (same
+        layout in both frameworks: pos_embed (1,N,C) and cls/dist
+        (1,1,C) collapse to a whole-tensor norm via their size-1 dim 0,
+        rel-pos tables group per table row).
     """
 
     def init_fn(params):
         del params
         return optax.EmptyState()
 
+    def _norm_for(path, t):
+        names = [getattr(p, "key", "") for p in path]
+        leaf = names[-1] if names else ""
+        if leaf.endswith("kernel"):
+            return unitwise_norm(t, keep_axis=-1)
+        if leaf == "bias" and t.ndim == 2:  # ImageBias (H, W): torch-flat
+            return jnp.linalg.norm(t)
+        return unitwise_norm(t, keep_axis=0)
+
     def update_fn(updates, state, params=None):
         assert params is not None
 
-        def clip_leaf(g, p):
-            p_norm = jnp.maximum(unitwise_norm(p), eps) * clip_factor
-            g_norm = unitwise_norm(g)
+        def clip_leaf(path, g, p):
+            p_norm = jnp.maximum(_norm_for(path, p), eps) * clip_factor
+            g_norm = _norm_for(path, g)
             clipped = g * (p_norm / jnp.maximum(g_norm, 1e-6))
             return jnp.where(g_norm < p_norm, g, clipped)
 
-        return jax.tree.map(clip_leaf, updates, params), state
+        return (jax.tree_util.tree_map_with_path(clip_leaf, updates, params),
+                state)
 
     return optax.GradientTransformation(init_fn, update_fn)
 

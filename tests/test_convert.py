@@ -87,7 +87,7 @@ class TestDeiTConvert:
         rng = np.random.default_rng(1)
         sd = fake_fp_deit_sd(CFG, rng)
         tree = convert_deit(sd, depth=CFG.depth)
-        tree = split_qkv_for_qkr(tree, CFG.depth)
+        tree = split_qkv_for_qkr(tree)
         C = CFG.embed_dim
         attn = tree["blocks_0"]["attn"]
         assert "qkv" not in attn

@@ -124,10 +124,24 @@ class TestSwinQuant:
         # QKR params exist in windowed attention
         assert "v_kernel" in params["params"]["features_1_0"]["attn"]
 
-    def test_remat_stages_bit_exact(self):
+    @staticmethod
+    def _perturbed_init(model, x):
+        """init + noise on EVERY param: the zero-init classifier head
+        otherwise makes logits (and sum(logits^2) grads) identically 0,
+        turning remat-vs-plain comparisons vacuous (round-3 self-review
+        finding)."""
+        params = model.init({"params": jax.random.key(0)}, x)
+        rng = np.random.default_rng(7)
+        return jax.tree.map(
+            lambda v: v + 0.02 * rng.standard_normal(v.shape).astype(v.dtype)
+            if hasattr(v, "shape") and v.dtype in (jnp.float32, jnp.bfloat16)
+            else v, params)
+
+    def test_remat_stages_matches_plain(self):
         # remat_stages wraps blocks in jax.checkpoint: values and grads
-        # must be IDENTICAL to the plain path (same graph, recomputed
-        # residuals), including through the quantizer custom-VJPs
+        # must match the plain path (same graph, recomputed residuals —
+        # any drift is float reduction reorder at compile level),
+        # including through the quantizer custom-VJPs
         pol = policy_from_args(
             wq_bitw=2, aq_bitw=2, qmodules=default_swin_qmodules((1, 1)),
             qk_reparam=True, qk_reparam_type=0)
@@ -135,7 +149,7 @@ class TestSwinQuant:
         m_plain = SwinTransformer(cfg=SMALL, policy=pol)
         m_remat = SwinTransformer(
             cfg=dataclasses.replace(SMALL, remat_stages=(0, 1)), policy=pol)
-        params = m_plain.init({"params": jax.random.key(0)}, x)
+        params = self._perturbed_init(m_plain, x)
 
         def make_loss(m):
             def loss(p):
@@ -148,18 +162,25 @@ class TestSwinQuant:
 
         v1, g1 = jax.jit(jax.value_and_grad(make_loss(m_plain)))(params)
         v2, g2 = jax.jit(jax.value_and_grad(make_loss(m_remat)))(params)
-        assert float(v1) == float(v2)
+        assert float(v1) != 0.0  # guard against a vacuous comparison
+        np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+        nonzero = 0
         for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)
+            nonzero += int(np.any(np.asarray(a) != 0))
+        assert nonzero > 10, nonzero  # grads actually flowed
 
     @pytest.mark.parametrize("qk_reparam", [False, True])
-    def test_attn_tail_remat_bit_exact(self, qk_reparam):
+    def test_attn_tail_remat_matches_composed(self, qk_reparam):
         """attn_impl='remat' (checkpointed window-attention tail): same
-        param tree, identical values and grads vs the composed path —
-        incl. the quan_softmax scale, whose data-dependent init happens
-        on the composition branch (_SoftmaxScaleParam guard).  Measured
-        SLOWER on the v5e chip (489 vs 525 img/s, Swin-T int8 B48) like
-        every remat variant at this scale — shipped as a memory knob."""
+        param tree, same values, grads equal up to float reduction
+        reorder (the tail's raw-LSQ autodiff vs the fused custom VJP —
+        observed <=2e-9 abs) — incl. the quan_softmax scale, whose
+        data-dependent init happens on the composition branch
+        (_SoftmaxScaleParam guard).  Measured SLOWER on the v5e chip
+        (489 vs 525 img/s, Swin-T int8 B48) like every remat variant at
+        this scale — shipped as a memory knob."""
         pol = policy_from_args(
             wq_bitw=2, aq_bitw=2, qmodules=default_swin_qmodules((1, 1)),
             qk_reparam=qk_reparam, qk_reparam_type=0)
@@ -167,7 +188,7 @@ class TestSwinQuant:
         m_plain = SwinTransformer(cfg=SMALL, policy=pol)
         m_remat = SwinTransformer(
             cfg=dataclasses.replace(SMALL, attn_impl="remat"), policy=pol)
-        params = m_plain.init({"params": jax.random.key(0)}, x)
+        params = self._perturbed_init(m_plain, x)
         import jax.tree_util as tu
 
         p2 = m_remat.init({"params": jax.random.key(0)}, x)
@@ -182,9 +203,14 @@ class TestSwinQuant:
 
         v1, g1 = jax.jit(jax.value_and_grad(make_loss(m_plain)))(params)
         v2, g2 = jax.jit(jax.value_and_grad(make_loss(m_remat)))(params)
-        assert float(v1) == float(v2)
+        assert float(v1) != 0.0  # guard against a vacuous comparison
+        np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+        nonzero = 0
         for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)
+            nonzero += int(np.any(np.asarray(a) != 0))
+        assert nonzero > 10, nonzero
 
     def test_cga_selection_swin(self):
         from ofq_tpu.train import freeze_masks

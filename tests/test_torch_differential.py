@@ -305,13 +305,13 @@ class TestAgcDifferential:
         adaptive_clip_grad([p], clip_factor=0.01, eps=1e-3)
         return p.grad.numpy()
 
-    def _ours_clip(self, w_j, g_j):
+    def _ours_clip(self, w_j, g_j, leaf="kernel"):
         from ofq_tpu.train.optim import adaptive_grad_clip
 
         tx = adaptive_grad_clip(clip_factor=0.01, eps=1e-3)
-        clipped, _ = tx.update({"k": jnp.asarray(g_j)}, tx.init(None),
-                               {"k": jnp.asarray(w_j)})
-        return np.asarray(clipped["k"])
+        clipped, _ = tx.update({leaf: jnp.asarray(g_j)}, tx.init(None),
+                               {leaf: jnp.asarray(w_j)})
+        return np.asarray(clipped[leaf])
 
     def test_dense_kernel(self):
         rng = np.random.default_rng(0)
@@ -342,5 +342,33 @@ class TestAgcDifferential:
         w = rng.normal(size=(7,)).astype(np.float32)
         g = (rng.normal(size=(7,)) * 40).astype(np.float32)
         want = self._torch_clip(w, g)
-        got = self._ours_clip(w, g)
+        got = self._ours_clip(w, g, leaf="bias")
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+    def test_same_layout_params_keep_dim0(self):
+        """pos_embed / rel-pos tables are NOT transposed between the
+        frameworks, so AGC must keep the reference's dim-0 grouping —
+        keep-last there would clip cls/pos tokens per channel (round-3
+        self-review finding)."""
+        rng = np.random.default_rng(3)
+        for leaf, shape in (("pos_embed", (1, 10, 6)),
+                            ("cls_token", (1, 1, 6)),
+                            ("relative_position_bias_table", (9, 4))):
+            w = rng.normal(size=shape).astype(np.float32)
+            g = (rng.normal(size=shape) * 30).astype(np.float32)
+            want = self._torch_clip(w, g)  # same layout: no transpose
+            got = self._ours_clip(w, g, leaf=leaf)
+            assert not np.allclose(g, want)  # clipping engaged
+            np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7,
+                                       err_msg=leaf)
+
+    def test_image_bias_whole_tensor(self):
+        """ImageBias is stored FLAT in torch (one 224*224 vector) but
+        (H, W) here: AGC must use the whole-tensor norm either way."""
+        rng = np.random.default_rng(4)
+        w = rng.normal(size=(8, 8)).astype(np.float32)
+        g = (rng.normal(size=(8, 8)) * 30).astype(np.float32)
+        want = self._torch_clip(w.ravel(), g.ravel()).reshape(8, 8)
+        got = self._ours_clip(w, g, leaf="bias")
+        assert not np.allclose(g, want)
         np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
