@@ -1,5 +1,12 @@
-"""Checkpoint conversion from reference (torch) formats."""
+"""Checkpoint conversion to/from reference (torch) formats."""
 
+from .torch_export import (
+    export_deit,
+    export_experiment_torch,
+    export_state_dict,
+    export_swin,
+    save_pth_tar,
+)
 from .torch_import import (
     convert_deit,
     convert_swin,
@@ -11,4 +18,6 @@ from .torch_import import (
 __all__ = [
     "convert_deit", "convert_swin", "load_torch_state_dict",
     "merge_pretrained", "split_qkv_for_qkr",
+    "export_deit", "export_swin", "export_state_dict", "save_pth_tar",
+    "export_experiment_torch",
 ]
