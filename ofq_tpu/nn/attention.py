@@ -367,7 +367,8 @@ class QAttention(nn.Module):
             symmetric=True, aq_learnable=self.aq_learnable,
         )
         if self.lsq_weights:
-            lin_kwargs.update(wq_all_positive=self.wq_all_positive)
+            lin_kwargs.update(wq_all_positive=self.wq_all_positive,
+                              frozen_int_bits=self.frozen_int_bits)
         else:
             lin_kwargs.update(
                 matmul_impl=self.matmul_impl, compute_dtype=self.compute_dtype,

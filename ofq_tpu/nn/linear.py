@@ -116,6 +116,22 @@ class _ScaleParam(nn.Module):
             "s", lambda rng: init_scale(x32, self.bit, self.all_positive, -2))
 
 
+class _WScaleParam(nn.Module):
+    """Param container matching LsqWeight's tree path ('weight_quant/s')
+    with the same kernel-statistics init (per-channel axis -1)."""
+
+    bit: int
+    all_positive: bool
+
+    @nn.compact
+    def __call__(self, w: jax.Array) -> jax.Array:
+        from ..quant.lsq import init_scale
+
+        w32 = w.astype(jnp.float32)
+        return self.param(
+            "s", lambda rng: init_scale(w32, self.bit, self.all_positive, -1))
+
+
 class QLinear(nn.Module):
     """StatsQ(weight) + bias->LSQ->bias(input) + matmul.
 
@@ -264,6 +280,10 @@ class LsqLinear(nn.Module):
     use_bias: bool = True
     kernel_init: Callable = nn.initializers.lecun_normal()
     bias_init: Callable = nn.initializers.zeros
+    # serving: kernel holds DEQUANTIZED full-LSQ values of this many bits;
+    # with the restored weight_quant/s param the integer codes are
+    # reconstructed exactly and the dot runs int8 (serve --int-core)
+    frozen_int_bits: Optional[int] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -271,6 +291,31 @@ class LsqLinear(nn.Module):
         kernel = self.param(
             "kernel", self.kernel_init, (in_features, self.features), jnp.float32
         )
+        from ..ops.int8_qlinear import lsq_int8_eligible
+
+        if (self.frozen_int_bits is not None and self.input_bits < 32
+                and lsq_int8_eligible(self.frozen_int_bits, self.input_bits,
+                                      not self.symmetric,
+                                      self.wq_all_positive)):
+            from ..ops.int8_qlinear import frozen_lsq_int8_forward
+
+            b_pre = _BiasParam(in_features, name="move_b4")()
+            s = _ScaleParam(self.input_bits, not self.symmetric,
+                            name="input_quant")(x)
+            if not self.aq_learnable:
+                s = jax.lax.stop_gradient(s)
+            b_post = _BiasParam(in_features, name="move_aft")()
+            w_s = _WScaleParam(self.frozen_int_bits, self.wq_all_positive,
+                               name="weight_quant")(kernel)
+            y = frozen_lsq_int8_forward(
+                x, kernel, w_s, s, b_pre, b_post,
+                w_bits=self.frozen_int_bits, a_bits=self.input_bits,
+                all_positive=not self.symmetric)
+            if self.use_bias:
+                b = self.param("bias", self.bias_init, (self.features,),
+                               jnp.float32)
+                y = y + b.astype(y.dtype)
+            return y
         if self.input_bits < 32:
             x = LearnableBias(in_features, name="move_b4")(x)
             x = LsqAct(
@@ -366,12 +411,14 @@ class QMlp(nn.Module):
                 input_bits=self.input_bits, symmetric=True,
                 aq_learnable=self.aq_learnable, wq_learnable=self.wq_learnable,
                 wq_all_positive=self.wq_all_positive,
+                frozen_int_bits=self.frozen_int_bits,
                 name="fc1")
             fc2 = LsqLinear(
                 self.out_features, weight_bits=self.weight_bits,
                 input_bits=self.input_bits, symmetric=False,
                 aq_learnable=self.aq_learnable, wq_learnable=self.wq_learnable,
                 wq_all_positive=self.wq_all_positive,
+                frozen_int_bits=self.frozen_int_bits,
                 name="fc2")
         else:
             fc1 = QLinear(

@@ -390,16 +390,15 @@ def int8_code_dot(xi: jax.Array, w_int: jax.Array, col: jax.Array):
     return acc.astype(jnp.float32) * col.reshape(-1)
 
 
-def frozen_int8_forward(x, w_q, w_scale, s, b_pre, b_post, *,
-                        w_bits, a_bits, all_positive):
-    """Inference-only integer-core QLinear on frozen (dequantized) kernels:
-    same factorization as int8_qlinear, with W_int reconstructed from the
-    stored scale instead of re-derived from live weights."""
+def _frozen_int_core(x, w_int, col, s, b_pre, b_post, *, a_bits,
+                     all_positive):
+    """Shared inference-only integer-core tail: quantize the activations
+    to int8 codes, run the int8 x int8 -> int32 MXU dot on the given
+    weight codes, and fold the scales/bias-correction back in fp32."""
     x1 = x + b_pre.astype(x.dtype)
     s_b = _broadcast_scale(s, x1.shape, -2)
     s_eff = jnp.maximum(s_b, _S_EPS).astype(x.dtype)
     xi = _act_int(x1, s_eff, a_bits, all_positive)
-    w_int, col = frozen_weight_int(w_q, w_scale, w_bits)
     acc = jax.lax.dot_general(
         xi.astype(jnp.int8), w_int.astype(jnp.int8),
         (((x.ndim - 1,), (0,)), ((), ())),
@@ -408,3 +407,47 @@ def frozen_int8_forward(x, w_q, w_scale, s, b_pre, b_post, *,
     y = (acc.astype(jnp.float32) * s_eff.astype(jnp.float32)
          * col.reshape(-1) + bq)
     return y.astype(x.dtype)
+
+
+def frozen_int8_forward(x, w_q, w_scale, s, b_pre, b_post, *,
+                        w_bits, a_bits, all_positive):
+    """Inference-only integer-core QLinear on frozen (dequantized) kernels:
+    same factorization as int8_qlinear, with W_int reconstructed from the
+    stored scale instead of re-derived from live weights."""
+    w_int, col = frozen_weight_int(w_q, w_scale, w_bits)
+    return _frozen_int_core(x, w_int, col, s, b_pre, b_post,
+                            a_bits=a_bits, all_positive=all_positive)
+
+
+def lsq_int8_eligible(w_bits: int, a_bits: int,
+                      act_all_positive: bool = False,
+                      w_all_positive: bool = False) -> bool:
+    """Full-LSQ (--wq-mode lsq) integer-core eligibility: signed LSQ
+    weight codes span [-2^(b-1), 2^(b-1)-1] (int8-safe for b <= 8),
+    unsigned --wq_asym codes span [0, 2^b-1] (b <= 7); activation rule
+    as int8_eligible."""
+    act_ok = a_bits <= (7 if act_all_positive else 8)
+    w_ok = 2 <= w_bits <= (7 if w_all_positive else 8)
+    return w_ok and act_ok
+
+
+def frozen_lsq_weight_int(w_q: jax.Array, w_s: jax.Array, bits: int):
+    """Reconstruct integer codes from a DEQUANTIZED full-LSQ kernel and
+    its LEARNED scale param (serve --int-core on --wq-mode lsq runs).
+
+    w_q = max(s, 1e-5) * k with k = clip(round(w/s)) an exact integer
+    (deploy._lsq_encode/_lsq_decode), so round(w_q / max(s, 1e-5))
+    recovers k exactly; unlike StatsQ there is no mid-rise 2n factor."""
+    col = jnp.maximum(w_s.astype(jnp.float32).reshape(1, -1), _S_EPS)
+    w_int = jnp.round(w_q.astype(jnp.float32) / col)
+    return w_int, col
+
+
+def frozen_lsq_int8_forward(x, w_q, w_s, s, b_pre, b_post, *,
+                            w_bits, a_bits, all_positive):
+    """frozen_int8_forward for full-LSQ kernels: codes come from the
+    learned per-channel weight scale (the weight_quant/s param restored
+    from the artifact) instead of a StatsQ scale sibling."""
+    w_int, col = frozen_lsq_weight_int(w_q, w_s, w_bits)
+    return _frozen_int_core(x, w_int, col, s, b_pre, b_post,
+                            a_bits=a_bits, all_positive=all_positive)

@@ -146,10 +146,12 @@ def predictor_from_artifact(npz_path: str, args_yaml: str, *,
     """Build a frozen-weight Predictor from a packed artifact + the
     experiment's args.yaml (for the model/policy configuration).
 
-    int_core=True serves through the integer-core path: StatsQ matmuls
-    consume the artifact's int codes directly on the MXU's int8 path
-    (exact int32 accumulation; the fp frozen path's logits differ only by
-    its own fp summation rounding)."""
+    int_core=True serves through the integer-core path: the quantized
+    matmuls consume the artifact's int codes directly on the MXU's int8
+    path (exact int32 accumulation; the fp frozen path's logits differ
+    only by its own fp summation rounding).  Supported for StatsQ recipes
+    (codes from scale siblings) and full-LSQ `--wq-mode lsq` recipes
+    (codes from the learned weight_quant/s params)."""
     import dataclasses as _dc
 
     from .cli.common import build_parser, policy_from_namespace
@@ -182,17 +184,27 @@ def predictor_from_artifact(npz_path: str, args_yaml: str, *,
             f"artifact wq_mode={meta.get('wq_mode', 'statsq')!r} != "
             f"args.yaml wq_mode={args.wq_mode!r}; wrong exp_dir for this "
             f"artifact")
-    from .ops.int8_qlinear import int8_eligible
+    from .ops.int8_qlinear import int8_eligible, lsq_int8_eligible
 
     if int_core and args.wq_mode == "lsq":
-        # the integer core reconstructs StatsQ codes from kernel_scale
-        # params; full-LSQ frozen blocks run the fp path, so an int-core
-        # request would silently serve fp rates under an int-core label
-        raise ValueError(
-            "--int-core serves StatsQ recipes only; full-LSQ "
-            "(--wq-mode lsq) artifacts serve through the frozen-fp path")
-    if int_core and not int8_eligible(args.wq_bitw, args.aq_bitw,
-                                      all_positive=True):
+        # full-LSQ integer core: codes reconstruct from the restored
+        # weight_quant/s params (ops/int8_qlinear.frozen_lsq_weight_int)
+        if args.qk_reparam:
+            # lsq+QKR is not a reference configuration (the surgery's lsq
+            # mode selects the non-QKR QAttention_lsq) and the QKR frozen
+            # attention reconstructs StatsQ products only
+            raise ValueError(
+                "--int-core with --wq-mode lsq does not support "
+                "--qk_reparam artifacts; serve without --int-core")
+        if not lsq_int8_eligible(args.wq_bitw, args.aq_bitw,
+                                 act_all_positive=True,
+                                 w_all_positive=args.wq_asym):
+            raise ValueError(
+                f"--int-core full-LSQ supports W2..W{7 if args.wq_asym else 8}"
+                f" / A<=7 artifacts, got W{args.wq_bitw}A{args.aq_bitw}; "
+                f"serve without --int-core")
+    elif int_core and not int8_eligible(args.wq_bitw, args.aq_bitw,
+                                        all_positive=True):
         # outside these ranges the QLinears would silently fall back to
         # the fp frozen path (int8_eligible: W_int=2k+1 must fit int8;
         # the asymmetric fc2 input codes 0..2^a-1 need a <= 7) and any

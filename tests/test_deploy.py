@@ -279,6 +279,34 @@ class TestExportRestore:
                           weight_bits=3, qk_reparam=False,
                           num_heads=TINY.num_heads)
 
+    @pytest.mark.parametrize("bits,wq_asym", [(2, False), (3, True)])
+    def test_full_lsq_int_core_serving_parity(self, bits, wq_asym):
+        """serve --int-core on a full-LSQ artifact: codes reconstruct from
+        the restored weight_quant/s params (frozen_lsq_weight_int) and the
+        int8 path must agree with the frozen-fp path up to the fp path's
+        own summation rounding, preserving every prediction."""
+        pol, model, params, x = self._build_lsq(bits, wq_asym)
+        exported = export_packed(
+            jax.tree.map(np.asarray, params["params"]),
+            weight_bits=bits, qk_reparam=False, num_heads=TINY.num_heads,
+            wq_mode="lsq", wq_asym=wq_asym)
+
+        frozen_pol = dataclasses.replace(pol, weight_frozen=True)
+        fp_model = VisionTransformer(cfg=TINY, policy=frozen_pol)
+        fp_logits, _ = fp_model.apply(
+            {"params": jax.tree.map(jnp.asarray, restore_packed(exported))},
+            x, train=False)
+
+        int_pol = dataclasses.replace(pol, weight_frozen=True,
+                                      frozen_int_bits=bits)
+        int_model = VisionTransformer(cfg=TINY, policy=int_pol)
+        restored = restore_packed(exported, int_core=True)
+        int_logits, _ = int_model.apply(
+            {"params": jax.tree.map(jnp.asarray, restored)}, x, train=False)
+        np.testing.assert_allclose(int_logits, fp_logits,
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_array_equal(np.argmax(int_logits, -1),
+                                      np.argmax(fp_logits, -1))
 
 class TestArtifactMetaGuards:
     def test_artifact_args_bit_mismatch_rejected(self, tmp_path):
@@ -336,21 +364,33 @@ class TestArtifactMetaGuards:
         with pytest.raises(ValueError, match="wq_mode"):
             predictor_from_artifact(npz, ay)
 
-    def test_int_core_lsq_artifact_rejected(self, tmp_path):
-        """--int-core reconstructs StatsQ codes; a full-LSQ artifact would
-        silently serve the fp path under an int-core label."""
+    def test_int_core_lsq_qkr_rejected(self, tmp_path):
+        """lsq + --qk_reparam is not a reference configuration and the QKR
+        frozen attention reconstructs StatsQ products only — reject rather
+        than silently serving fp rates under an int-core label."""
         import yaml as _yaml
 
         from ofq_tpu.serve import predictor_from_artifact
 
         exported = export_packed(
             {"head": {"kernel": np.ones((8, 4), np.float32)}},
-            weight_bits=2, qk_reparam=False, num_heads=1, wq_mode="lsq")
+            weight_bits=2, qk_reparam=True, num_heads=1, wq_mode="lsq")
         npz = str(tmp_path / "w2lsq.npz")
         np.savez(npz, **exported)
         ay = str(tmp_path / "args.yaml")
         with open(ay, "w") as f:
-            _yaml.safe_dump({"wq_bitw": 2, "aq_bitw": 2,
+            _yaml.safe_dump({"wq_bitw": 2, "aq_bitw": 2, "qk_reparam": True,
                              "wq_mode": "lsq", "aq_mode": "lsq"}, f)
-        with pytest.raises(ValueError, match="StatsQ recipes only"):
+        with pytest.raises(ValueError, match="qk_reparam"):
             predictor_from_artifact(npz, ay, int_core=True)
+        # asym W8 codes overflow int8 — also rejected, not silent-fp
+        exported8 = export_packed(
+            {"head": {"kernel": np.ones((8, 4), np.float32)}},
+            weight_bits=8, qk_reparam=False, num_heads=1, wq_mode="lsq")
+        npz8 = str(tmp_path / "w8lsq.npz")
+        np.savez(npz8, **exported8)
+        with open(ay, "w") as f:
+            _yaml.safe_dump({"wq_bitw": 8, "aq_bitw": 2, "wq_asym": True,
+                             "wq_mode": "lsq", "aq_mode": "lsq"}, f)
+        with pytest.raises(ValueError, match="full-LSQ supports"):
+            predictor_from_artifact(npz8, ay, int_core=True)
