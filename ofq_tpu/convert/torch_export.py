@@ -120,6 +120,25 @@ def _attention(node: Mapping[str, Any], prefix: str,
     _qlinear(node["proj"], f"{prefix}.proj", out)
 
 
+def _mlp_act(mlp: Mapping[str, Any], prefix: str,
+             out: Dict[str, np.ndarray]):
+    """--act-layer prelu stores 'act.weight' in the reference (torch
+    nn.PReLU, train.py:391-396).  RPReLU has no reference checkpoint
+    layout (the reference's rprelu path never constructs its submodules,
+    qlinear.py:110-131) — refuse rather than silently dropping learned
+    params."""
+    act = mlp.get("act")
+    if not isinstance(act, dict):
+        return
+    if "move1" in act:
+        raise NotImplementedError(
+            "rprelu act params have no reference state_dict layout "
+            "(the reference's rprelu path is non-functional); export "
+            "is only defined for prelu/parameter-free activations")
+    if "alpha" in act:
+        out[f"{prefix}.act.weight"] = _np(act["alpha"])
+
+
 def _norm(node: Mapping[str, Any], prefix: str, out: Dict[str, np.ndarray]):
     if "scale" in node:
         out[f"{prefix}.weight"] = _np(node["scale"])
@@ -179,6 +198,7 @@ def export_deit(params: Mapping[str, Any], *,
         _attention(blk["attn"], f"blocks.{i}.attn", out)
         _qlinear(blk["mlp"]["fc1"], f"blocks.{i}.mlp.fc1", out)
         _qlinear(blk["mlp"]["fc2"], f"blocks.{i}.mlp.fc2", out)
+        _mlp_act(blk["mlp"], f"blocks.{i}.mlp", out)
     _norm(params["norm"], "norm", out)
     for head in ("head", "head_dist"):
         if head in params:
@@ -212,6 +232,7 @@ def export_swin(params: Mapping[str, Any], *,
             if _is_quantized_linear(mlp["fc1"]):
                 _qlinear(mlp["fc1"], f"{prefix}.mlp.fc1", out)
                 _qlinear(mlp["fc2"], f"{prefix}.mlp.fc2", out)
+                _mlp_act(mlp, f"{prefix}.mlp", out)
             else:  # float torchvision MLP Sequential indices
                 _linear(mlp["fc1"], f"{prefix}.mlp.0", out)
                 _linear(mlp["fc2"], f"{prefix}.mlp.3", out)

@@ -154,6 +154,10 @@ def convert_deit(sd: Mapping[str, np.ndarray], *, depth: int = 12,
         _attention(sd, f"{src}.attn", dst + ["attn"], tree)
         _qlinear(sd, f"{src}.mlp.fc1", dst + ["mlp", "fc1"], tree)
         _qlinear(sd, f"{src}.mlp.fc2", dst + ["mlp", "fc2"], tree)
+        # --act-layer prelu: torch nn.PReLU stores 'act.weight' (1,)
+        # (reference ACT_LAYER_MAPPINGS, train.py:391-396)
+        _maybe(sd, f"{src}.mlp.act.weight", dst + ["mlp", "act", "alpha"],
+               tree)
     _norm(sd, "norm", ["norm"], tree)
     for head in ("head", "head_dist"):
         if f"{head}.weight" in sd:
@@ -182,6 +186,8 @@ def convert_swin(sd: Mapping[str, np.ndarray], *,
             if f"{src}.mlp.fc1.weight" in sd:
                 _qlinear(sd, f"{src}.mlp.fc1", dst + ["mlp", "fc1"], tree)
                 _qlinear(sd, f"{src}.mlp.fc2", dst + ["mlp", "fc2"], tree)
+                _maybe(sd, f"{src}.mlp.act.weight",
+                       dst + ["mlp", "act", "alpha"], tree)
             else:
                 _linear(sd, f"{src}.mlp.0", dst + ["mlp", "fc1"], tree)
                 _linear(sd, f"{src}.mlp.3", dst + ["mlp", "fc2"], tree)

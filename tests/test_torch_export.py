@@ -194,6 +194,41 @@ class TestDeiTExport:
             np.testing.assert_array_equal(loaded[k], sd[k], err_msg=k)
 
 
+class TestActExport:
+    def test_prelu_roundtrip(self):
+        """--act-layer prelu: the learned slope exports as the torch
+        nn.PReLU 'act.weight' key and re-imports onto mlp/act/alpha."""
+        qm = default_deit_qmodules(DEPTH, distilled=True)
+        pol = policy_from_args(wq_bitw=2, aq_bitw=2, qmodules=qm,
+                               act_layer="prelu")
+        cfg = DeiTConfig(img_size=32, patch_size=16, embed_dim=DIM,
+                         depth=DEPTH, num_heads=HEADS, num_classes=CLASSES)
+        model = VisionTransformer(cfg=cfg, policy=pol)
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 32, 32, 3),
+                        jnp.float32)
+        variables = jax.jit(
+            lambda k, xx: model.init({"params": k}, xx, train=False)
+        )(jax.random.key(0), x)
+        params = jax.tree.map(np.asarray, variables["params"])
+        assert "act" in params["blocks_0"]["mlp"]
+        sd = export_deit(params, quant_stats=variables.get("quant_stats"))
+        assert "blocks.0.mlp.act.weight" in sd
+        back = convert_deit(sd, depth=DEPTH, img_size=32)
+        np.testing.assert_array_equal(
+            back["blocks_0"]["mlp"]["act"]["alpha"],
+            params["blocks_0"]["mlp"]["act"]["alpha"])
+
+    def test_rprelu_rejected(self):
+        """rprelu has no reference checkpoint layout (the reference's
+        rprelu path never constructs its submodules) — export must refuse
+        rather than silently drop learned params."""
+        from ofq_tpu.convert.torch_export import _mlp_act
+
+        with pytest.raises(NotImplementedError, match="rprelu"):
+            _mlp_act({"act": {"move1": np.zeros(4), "alpha": np.ones(4),
+                              "move2": np.zeros(4)}}, "blocks.0.mlp", {})
+
+
 class TestExperimentExport:
     def test_cli_export_experiment(self, tmp_path):
         """Train a tiny experiment and export it via the CLI entry: the
