@@ -140,14 +140,8 @@ def _mlp_act(mlp: Mapping[str, Any], prefix: str,
 
 
 def _norm(node: Mapping[str, Any], prefix: str, out: Dict[str, np.ndarray]):
-    if "scale" in node:
-        out[f"{prefix}.weight"] = _np(node["scale"])
-        out[f"{prefix}.bias"] = _np(node["bias"])
-    else:
-        raise NotImplementedError(
-            "torch export covers LayerNorm models (the published OFQ "
-            "recipes); BatchNorm-swapped trees carry running stats in "
-            "'batch_stats' with no 1:1 reference checkpoint layout")
+    out[f"{prefix}.weight"] = _np(node["scale"])
+    out[f"{prefix}.bias"] = _np(node["bias"])
 
 
 def _patch_embed(node: Mapping[str, Any], prefix: str,
@@ -284,6 +278,15 @@ def export_experiment_torch(exp_dir: str, out_path: str, *,
 
     p = Predictor.from_experiment(exp_dir, batch_size=1, use_best=use_best)
     variables = p.params
+    if "batch_stats" in variables:
+        # LN->BN-swapped models (--norm-layer batchnorm) carry running
+        # stats in their own collection; flax BatchNorm's scale/bias would
+        # export silently while running_mean/var were dropped — refuse.
+        # The published OFQ recipes are all LayerNorm.
+        raise NotImplementedError(
+            "torch export covers LayerNorm models; this experiment has a "
+            "'batch_stats' collection (BatchNorm-swapped) whose running "
+            "stats have no 1:1 reference checkpoint layout here")
     with open(os.path.join(exp_dir, "args.yaml")) as f:
         saved = yaml.safe_load(f)
     model_type = saved.get("model_type", "deit")

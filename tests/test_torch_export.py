@@ -218,6 +218,24 @@ class TestActExport:
             back["blocks_0"]["mlp"]["act"]["alpha"],
             params["blocks_0"]["mlp"]["act"]["alpha"])
 
+    def test_batchnorm_experiment_rejected(self, tmp_path):
+        """BN-swapped experiments carry running stats in 'batch_stats';
+        exporting just scale/bias would silently produce a broken torch
+        checkpoint — must refuse."""
+        import unittest.mock as mock
+
+        from ofq_tpu.convert.torch_export import export_experiment_torch
+        from ofq_tpu.serve import Predictor
+
+        fake = mock.Mock()
+        fake.params = {"params": {}, "batch_stats": {"norm": {}}}
+        (tmp_path / "args.yaml").write_text("model_type: deit\n")
+        with mock.patch.object(Predictor, "from_experiment",
+                               return_value=fake):
+            with pytest.raises(NotImplementedError, match="batch_stats"):
+                export_experiment_torch(str(tmp_path),
+                                        str(tmp_path / "o.pth.tar"))
+
     def test_rprelu_rejected(self):
         """rprelu has no reference checkpoint layout (the reference's
         rprelu path never constructs its submodules) — export must refuse
