@@ -266,6 +266,18 @@ def save_pth_tar(state_dict: Mapping[str, np.ndarray], path: str, *,
     return path
 
 
+def swin_depths_from_params(params: Mapping[str, Any]) -> tuple:
+    """Derive per-stage block counts from features_<f>_<b> keys (stage
+    feature indices 1,3,5,7; PatchMerging nodes are features_<f>)."""
+    stage_blocks: Dict[int, int] = {}
+    for k in params:
+        parts = k.split("_")
+        if k.startswith("features_") and len(parts) == 3:
+            f_i, b_i = int(parts[1]), int(parts[2])
+            stage_blocks[f_i] = max(stage_blocks.get(f_i, 0), b_i + 1)
+    return tuple(stage_blocks[f] for f in sorted(stage_blocks))
+
+
 def export_experiment_torch(exp_dir: str, out_path: str, *,
                             use_best: bool = True) -> str:
     """Load a trained experiment directory (args.yaml + orbax checkpoint)
@@ -291,16 +303,8 @@ def export_experiment_torch(exp_dir: str, out_path: str, *,
         saved = yaml.safe_load(f)
     model_type = saved.get("model_type", "deit")
     params = variables["params"]
-    depths = (2, 2, 6, 2)
-    if model_type == "swin":
-        feat = [k for k in params if k.startswith("features_")]
-        stage_blocks: Dict[int, int] = {}
-        for k in feat:
-            parts = k.split("_")
-            if len(parts) == 3:  # features_<f>_<b>
-                f_i, b_i = int(parts[1]), int(parts[2])
-                stage_blocks[f_i] = max(stage_blocks.get(f_i, 0), b_i + 1)
-        depths = tuple(stage_blocks[f] for f in sorted(stage_blocks))
+    depths = (swin_depths_from_params(params) if model_type == "swin"
+              else (2, 2, 6, 2))
     sd = export_state_dict(params, model_type=model_type, depths=depths,
                            quant_stats=variables.get("quant_stats"))
     return save_pth_tar(sd, out_path, arch=saved.get("model", ""),

@@ -320,6 +320,20 @@ def _tiny_reference_swin():
         stochastic_depth_prob=0.0, num_classes=CLASSES)
 
 
+def test_swin_depth_detection():
+    """export_experiment_torch derives Swin depths from features_<f>_<b>
+    keys (stage feature indices 1,3,5,7; PatchMerging nodes and non-stage
+    keys must not confuse it)."""
+    from ofq_tpu.convert.torch_export import swin_depths_from_params
+
+    params = {"patch_embed": {}, "patch_norm": {}, "norm": {}, "head": {},
+              "features_2": {}, "features_4": {}, "features_6": {}}
+    for f, blocks in ((1, 2), (3, 2), (5, 6), (7, 2)):
+        for b in range(blocks):
+            params[f"features_{f}_{b}"] = {}
+    assert swin_depths_from_params(params) == (2, 2, 6, 2)
+
+
 class TestSwinExport:
     def test_qkr(self):
         x_t = _x(seed=11)
