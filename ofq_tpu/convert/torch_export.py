@@ -98,11 +98,12 @@ def _attention(node: Mapping[str, Any], prefix: str,
                              ("quan_softmax", "quan_a_softmax_fn")):
             if ours in node:
                 out[f"{prefix}.{theirs}.s"] = _np(node[ours]["s"])
-        if "quan_qkx" in node:
-            # the QKR W_qk / v-linear StatsQ quantizers' fixed buffers
-            # (attention.py:190-210)
-            out[f"{prefix}.qk_quant.clip_val"] = _CLIP_VAL.copy()
-            out[f"{prefix}.v_quant.clip_val"] = _CLIP_VAL.copy()
+        # the QKR W_qk / v-linear StatsQ quantizers' fixed buffers
+        # (attention.py:190-210): QKR attention always StatsQ-quantizes
+        # its weight products, independent of the activation quantizers,
+        # so emit unconditionally (q_kernel itself marks a quantized tree)
+        out[f"{prefix}.qk_quant.clip_val"] = _CLIP_VAL.copy()
+        out[f"{prefix}.v_quant.clip_val"] = _CLIP_VAL.copy()
     else:
         _qlinear(node["qkv"], f"{prefix}.qkv", out)
         if "move_qkv_b4" in node:
@@ -307,8 +308,10 @@ def export_experiment_torch(exp_dir: str, out_path: str, *,
               else (2, 2, 6, 2))
     sd = export_state_dict(params, model_type=model_type, depths=depths,
                            quant_stats=variables.get("quant_stats"))
+    # stamp the RESTORED checkpoint's epoch (best-k retention can pick a
+    # mid-run epoch), not the configured total
     return save_pth_tar(sd, out_path, arch=saved.get("model", ""),
-                        epoch=int(saved.get("epochs", 0)))
+                        epoch=p.epoch or 0)
 
 
 def main(argv=None):

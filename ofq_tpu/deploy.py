@@ -147,7 +147,7 @@ def export_packed(params: dict, *, weight_bits: int, qk_reparam: bool,
                          f"{weight_bits}")
     out = {}
     meta = {"weight_bits": weight_bits, "qk_reparam": qk_reparam,
-            "wq_mode": wq_mode, "entries": {}}
+            "wq_mode": wq_mode, "wq_asym": wq_asym, "entries": {}}
     params = {k: np.asarray(v) if not isinstance(v, dict) else v
               for k, v in params.items()}
     flat = list(_walk(params))

@@ -101,11 +101,14 @@ class _BiasParam(nn.Module):
 
 
 class _ScaleParam(nn.Module):
-    """Param container matching LsqAct's tree path ('<name>/s') with the
-    same data-dependent init."""
+    """Param container matching an LSQ quantizer's tree path ('<name>/s')
+    with the same data-dependent init.  axis=-2 matches LsqAct's
+    per-token activation scales ('input_quant/s'); axis=-1 matches
+    LsqWeight's per-out-channel kernel scales ('weight_quant/s')."""
 
     bit: int
     all_positive: bool
+    axis: int = -2
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -113,23 +116,8 @@ class _ScaleParam(nn.Module):
 
         x32 = x.astype(jnp.float32)
         return self.param(
-            "s", lambda rng: init_scale(x32, self.bit, self.all_positive, -2))
-
-
-class _WScaleParam(nn.Module):
-    """Param container matching LsqWeight's tree path ('weight_quant/s')
-    with the same kernel-statistics init (per-channel axis -1)."""
-
-    bit: int
-    all_positive: bool
-
-    @nn.compact
-    def __call__(self, w: jax.Array) -> jax.Array:
-        from ..quant.lsq import init_scale
-
-        w32 = w.astype(jnp.float32)
-        return self.param(
-            "s", lambda rng: init_scale(w32, self.bit, self.all_positive, -1))
+            "s", lambda rng: init_scale(x32, self.bit, self.all_positive,
+                                        self.axis))
 
 
 class QLinear(nn.Module):
@@ -305,11 +293,11 @@ class LsqLinear(nn.Module):
             if not self.aq_learnable:
                 s = jax.lax.stop_gradient(s)
             b_post = _BiasParam(in_features, name="move_aft")()
-            w_s = _WScaleParam(self.frozen_int_bits, self.wq_all_positive,
-                               name="weight_quant")(kernel)
+            w_s = _ScaleParam(self.frozen_int_bits, self.wq_all_positive,
+                              axis=-1, name="weight_quant")(kernel)
             y = frozen_lsq_int8_forward(
                 x, kernel, w_s, s, b_pre, b_post,
-                w_bits=self.frozen_int_bits, a_bits=self.input_bits,
+                a_bits=self.input_bits,
                 all_positive=not self.symmetric)
             if self.use_bias:
                 b = self.param("bias", self.bias_init, (self.features,),

@@ -431,23 +431,25 @@ def lsq_int8_eligible(w_bits: int, a_bits: int,
     return w_ok and act_ok
 
 
-def frozen_lsq_weight_int(w_q: jax.Array, w_s: jax.Array, bits: int):
+def frozen_lsq_weight_int(w_q: jax.Array, w_s: jax.Array):
     """Reconstruct integer codes from a DEQUANTIZED full-LSQ kernel and
     its LEARNED scale param (serve --int-core on --wq-mode lsq runs).
 
     w_q = max(s, 1e-5) * k with k = clip(round(w/s)) an exact integer
     (deploy._lsq_encode/_lsq_decode), so round(w_q / max(s, 1e-5))
-    recovers k exactly; unlike StatsQ there is no mid-rise 2n factor."""
+    recovers k exactly; unlike StatsQ there is no mid-rise 2n factor and
+    no bit-width dependence (the code RANGE is policed by
+    lsq_int8_eligible + the artifact's wq_asym meta guard in serve)."""
     col = jnp.maximum(w_s.astype(jnp.float32).reshape(1, -1), _S_EPS)
     w_int = jnp.round(w_q.astype(jnp.float32) / col)
     return w_int, col
 
 
 def frozen_lsq_int8_forward(x, w_q, w_s, s, b_pre, b_post, *,
-                            w_bits, a_bits, all_positive):
+                            a_bits, all_positive):
     """frozen_int8_forward for full-LSQ kernels: codes come from the
     learned per-channel weight scale (the weight_quant/s param restored
     from the artifact) instead of a StatsQ scale sibling."""
-    w_int, col = frozen_lsq_weight_int(w_q, w_s, w_bits)
+    w_int, col = frozen_lsq_weight_int(w_q, w_s)
     return _frozen_int_core(x, w_int, col, s, b_pre, b_post,
                             a_bits=a_bits, all_positive=all_positive)

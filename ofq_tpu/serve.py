@@ -25,11 +25,16 @@ import yaml
 
 
 class Predictor:
-    def __init__(self, model, params, *, batch_size: int, img_size: int):
+    def __init__(self, model, params, *, batch_size: int, img_size: int,
+                 epoch: Optional[int] = None):
         self.model = model
         self.params = params
         self.batch_size = batch_size
         self.img_size = img_size
+        # the restored checkpoint's epoch (None for artifact-built
+        # predictors) — consumed e.g. by convert.torch_export's .pth.tar
+        # epoch stamp
+        self.epoch = epoch
 
         def _predict(params, x):
             logits, _ = model.apply(params, x, train=False)
@@ -84,7 +89,7 @@ class Predictor:
         if args.model_ema and state.ema_params is not None:
             params = {**params, "params": state.ema_params}
         return cls(model, params, batch_size=batch_size,
-                   img_size=args.img_size)
+                   img_size=args.img_size, epoch=int(state.epoch))
 
     def predict(self, images: np.ndarray) -> np.ndarray:
         """images: (B, H, W, 3) float32 NHWC, already normalized."""
@@ -184,6 +189,15 @@ def predictor_from_artifact(npz_path: str, args_yaml: str, *,
             f"artifact wq_mode={meta.get('wq_mode', 'statsq')!r} != "
             f"args.yaml wq_mode={args.wq_mode!r}; wrong exp_dir for this "
             f"artifact")
+    meta_asym = bool(meta.get("wq_asym", False))
+    if meta_asym != bool(getattr(args, "wq_asym", False)):
+        # the asym/signed code range changes both decode and the int-core
+        # eligibility window (unsigned W8 codes wrap int8) — a mismatched
+        # pairing must not silently serve the wrong range
+        raise ValueError(
+            f"artifact wq_asym={meta_asym} != args.yaml "
+            f"wq_asym={bool(getattr(args, 'wq_asym', False))}; wrong "
+            f"exp_dir for this artifact")
     from .ops.int8_qlinear import int8_eligible, lsq_int8_eligible
 
     if int_core and args.wq_mode == "lsq":

@@ -364,6 +364,28 @@ class TestArtifactMetaGuards:
         with pytest.raises(ValueError, match="wq_mode"):
             predictor_from_artifact(npz, ay)
 
+    def test_artifact_args_wq_asym_mismatch_rejected(self, tmp_path):
+        """The asym/signed weight-code range changes decode AND the
+        int-core eligibility window (unsigned W8 codes wrap int8) — an
+        asym artifact paired with a signed-run args.yaml must be
+        rejected, not silently decoded on the wrong range."""
+        import yaml as _yaml
+
+        from ofq_tpu.serve import predictor_from_artifact
+
+        exported = export_packed(
+            {"head": {"kernel": np.ones((8, 4), np.float32)}},
+            weight_bits=2, qk_reparam=False, num_heads=1, wq_mode="lsq",
+            wq_asym=True)
+        npz = str(tmp_path / "w2asym.npz")
+        np.savez(npz, **exported)
+        ay = str(tmp_path / "args.yaml")
+        with open(ay, "w") as f:
+            _yaml.safe_dump({"wq_bitw": 2, "aq_bitw": 2,
+                             "wq_mode": "lsq", "aq_mode": "lsq"}, f)
+        with pytest.raises(ValueError, match="wq_asym"):
+            predictor_from_artifact(npz, ay)
+
     def test_int_core_lsq_qkr_rejected(self, tmp_path):
         """lsq + --qk_reparam is not a reference configuration and the QKR
         frozen attention reconstructs StatsQ products only — reject rather
@@ -386,7 +408,8 @@ class TestArtifactMetaGuards:
         # asym W8 codes overflow int8 — also rejected, not silent-fp
         exported8 = export_packed(
             {"head": {"kernel": np.ones((8, 4), np.float32)}},
-            weight_bits=8, qk_reparam=False, num_heads=1, wq_mode="lsq")
+            weight_bits=8, qk_reparam=False, num_heads=1, wq_mode="lsq",
+            wq_asym=True)
         npz8 = str(tmp_path / "w8lsq.npz")
         np.savez(npz8, **exported8)
         with open(ay, "w") as f:

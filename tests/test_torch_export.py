@@ -177,6 +177,13 @@ class TestDeiTExport:
         ours, theirs = self._quantized_pair(_x(seed=3), qk_reparam=True)
         _assert_quantized_close(ours, theirs)
 
+    def test_full_lsq_strict(self):
+        """--wq-mode lsq layouts (lsqw_fn.s on every block linear instead
+        of statsq_fn.clip_val) export strict-loadable too."""
+        ours, theirs = self._quantized_pair(_x(seed=4), qk_reparam=False,
+                                            wq_mode="lsq")
+        _assert_quantized_close(ours, theirs)
+
     def test_pth_tar_roundtrip(self, tmp_path):
         """save_pth_tar writes the CheckpointSaver layout our own
         importer (and the reference's --resume) can read back."""
