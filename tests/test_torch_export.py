@@ -201,6 +201,58 @@ class TestDeiTExport:
             np.testing.assert_array_equal(loaded[k], sd[k], err_msg=k)
 
 
+ROUNDTRIP_CASES = {
+    "fp_plain": dict(distilled=False, policy=dict(qmodules=())),
+    "statsq_w2a2": dict(policy=dict(wq_bitw=2, aq_bitw=2)),
+    "statsq_qkr_w3a3": dict(policy=dict(wq_bitw=3, aq_bitw=3,
+                                        qk_reparam=True)),
+    "statsq_plain_model": dict(distilled=False,
+                               policy=dict(wq_bitw=2, aq_bitw=2)),
+    "lsq_w3": dict(policy=dict(wq_bitw=3, aq_bitw=3, wq_mode="lsq")),
+    "lsq_asym_w3": dict(policy=dict(wq_bitw=3, aq_bitw=3, wq_mode="lsq",
+                                    wq_asym=True)),
+    "wq_only": dict(policy=dict(wq_bitw=2, aq_enable=False)),
+    "aq_only": dict(policy=dict(wq_enable=False, aq_bitw=2)),
+    "prelu": dict(policy=dict(wq_bitw=2, aq_bitw=2, act_layer="prelu")),
+}
+
+
+class TestRoundtripMatrix:
+    """export -> import must be a bit-exact bijection onto our tree for
+    every policy shape the CLI can produce (locks the converter pair
+    against drift without needing the torch side per case)."""
+
+    @pytest.mark.parametrize("name", sorted(ROUNDTRIP_CASES))
+    def test_roundtrip(self, name):
+        case = ROUNDTRIP_CASES[name]
+        pol_kw = dict(case["policy"])
+        if "qmodules" not in pol_kw:
+            pol_kw["qmodules"] = default_deit_qmodules(
+                DEPTH, distilled=case.get("distilled", True))
+        pol = policy_from_args(**pol_kw)
+        cfg = DeiTConfig(img_size=32, patch_size=16, embed_dim=DIM,
+                         depth=DEPTH, num_heads=HEADS, num_classes=CLASSES,
+                         distilled=case.get("distilled", True))
+        model = VisionTransformer(cfg=cfg, policy=pol)
+        x = jnp.asarray(np.random.RandomState(1).randn(2, 32, 32, 3),
+                        jnp.float32)
+        variables = jax.jit(
+            lambda k, xx: model.init({"params": k}, xx, train=False)
+        )(jax.random.key(0), x)
+        params = jax.tree.map(np.asarray, variables["params"])
+        sd = export_deit(params, quant_stats=variables.get("quant_stats"))
+        back = convert_deit(
+            {k: v for k, v in sd.items()
+             if "clip_val" not in k and not k.endswith(".signed")},
+            depth=DEPTH, img_size=32)
+        ours, theirs = _flat(params), _flat(back)
+        assert set(theirs) == set(ours), sorted(set(ours) ^ set(theirs))[:8]
+        for k in ours:
+            np.testing.assert_array_equal(
+                np.asarray(ours[k], np.float32).reshape(theirs[k].shape),
+                theirs[k], err_msg=k)
+
+
 class TestActExport:
     def test_prelu_roundtrip(self):
         """--act-layer prelu: the learned slope exports as the torch
