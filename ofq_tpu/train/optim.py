@@ -57,12 +57,15 @@ def unitwise_norm(x: jax.Array, keep_axis: int = -1) -> jax.Array:
     return jnp.sqrt(jnp.sum(x * x, axis=axes, keepdims=True))
 
 
-def adaptive_grad_clip(clip_factor: float = 0.01, eps: float = 1e-3
+def adaptive_grad_clip(clip_factor: float = 0.01, eps: float = 1e-3,
+                       exclude_head: bool = False
                        ) -> optax.GradientTransformation:
     """AGC: clip each unit's gradient to clip_factor * ||param||.
 
-    Reference: utils.py:15-27 (`adaptive_clip_grad`), selected by
-    `--clip-mode agc`.  Per-leaf grouping matches the reference exactly:
+    Reference: utils.py:15-27 (`adaptive_clip_grad`), dispatched by timm's
+    `dispatch_clip_grad(..., value=args.clip_grad, mode='agc')`
+    (train.py:930-932) — so the CLI `--clip-grad` VALUE is the AGC
+    clip_factor.  Per-leaf grouping matches the reference exactly:
       * '*kernel' leaves (kernel/q_kernel/k_kernel/v_kernel) are stored
         TRANSPOSED vs torch -> keep the last axis (the output units);
       * a 2-D 'bias' leaf is ImageBias, which torch stores FLAT (one
@@ -71,7 +74,16 @@ def adaptive_grad_clip(clip_factor: float = 0.01, eps: float = 1e-3
         layout in both frameworks: pos_embed (1,N,C) and cls/dist
         (1,1,C) collapse to a whole-tensor norm via their size-1 dim 0,
         rel-pos tables group per table row).
-    """
+
+    `exclude_head` mirrors timm's `model_parameters(model,
+    exclude_head='agc' in clip_mode)` (train.py:931), which drops the
+    LAST TWO entries of `model.parameters()`.  After the reference's
+    module surgery those are not the classifier weights timm's hack
+    intended but the final head module's `move_b4.bias` / `move_aft.bias`
+    (LSQ_QLinear4head registers weight, bias, input_quant_fn.s,
+    [lsqw_fn.s,] move_b4.bias, move_aft.bias — qlinear.py:193-221); the
+    last head module is `head_dist` for distilled DeiT, `head` otherwise.
+    We replicate that actual behavior, not the intent."""
 
     def init_fn(params):
         del params
@@ -86,10 +98,21 @@ def adaptive_grad_clip(clip_factor: float = 0.01, eps: float = 1e-3
             return jnp.linalg.norm(t)
         return unitwise_norm(t, keep_axis=0)
 
+    def _last_head(updates) -> str:
+        names = set()
+        for path, _ in jax.tree_util.tree_flatten_with_path(updates)[0]:
+            names.update(getattr(p, "key", "") for p in path)
+        return "head_dist" if "head_dist" in names else "head"
+
     def update_fn(updates, state, params=None):
         assert params is not None
+        skip_head = _last_head(updates) if exclude_head else None
 
         def clip_leaf(path, g, p):
+            names = [getattr(p_, "key", "") for p_ in path]
+            if (skip_head is not None and skip_head in names
+                    and any(n in ("move_b4", "move_aft") for n in names)):
+                return g
             p_norm = jnp.maximum(_norm_for(path, p), eps) * clip_factor
             g_norm = _norm_for(path, g)
             clipped = g * (p_norm / jnp.maximum(g_norm, 1e-6))
@@ -109,7 +132,6 @@ def make_optimizer(
     eps: float = 1e-8,
     clip_grad: Optional[float] = None,
     clip_mode: str = "norm",
-    agc_factor: float = 0.01,
 ) -> optax.GradientTransformation:
     """AdamW + optional gradient clipping, mirroring the reference flags."""
     chain = []
@@ -119,7 +141,12 @@ def make_optimizer(
         elif clip_mode == "value":
             chain.append(optax.clip(clip_grad))
         elif clip_mode == "agc":
-            chain.append(adaptive_grad_clip(clip_factor=agc_factor))
+            # timm dispatch: the --clip-grad VALUE is the AGC factor
+            # (train.py:930-932), with the last head module's move
+            # biases excluded (the [:-2] parameters hack, see
+            # adaptive_grad_clip)
+            chain.append(adaptive_grad_clip(clip_factor=clip_grad,
+                                            exclude_head=True))
         else:
             raise ValueError(clip_mode)
     chain.append(

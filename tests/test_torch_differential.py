@@ -372,3 +372,92 @@ class TestAgcDifferential:
         got = self._ours_clip(w, g, leaf="bias")
         assert not np.allclose(g, want)
         np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+    def test_clip_grad_value_is_the_agc_factor(self):
+        """timm dispatch_clip_grad passes the --clip-grad VALUE as the
+        AGC clip_factor (train.py:930-932) — make_optimizer must wire it
+        through, not pin 0.01.  Checked by comparing the full optimizer
+        chain against a hand-built adaptive_grad_clip(value) + adamw."""
+        import optax
+
+        from ofq_tpu.train.optim import (adaptive_grad_clip, make_optimizer,
+                                         wd_mask)
+
+        rng = np.random.default_rng(5)
+        params = {"kernel": jnp.asarray(
+            rng.normal(size=(4, 6)).astype(np.float32))}
+        grads = {"kernel": jnp.asarray(
+            (rng.normal(size=(4, 6)) * 30).astype(np.float32))}
+
+        def run(tx):
+            st = tx.init(params)
+            upd, _ = tx.update(grads, st, params)
+            return np.asarray(upd["kernel"])
+
+        got = run(make_optimizer(lambda _: 1e-3, clip_grad=0.5,
+                                 clip_mode="agc"))
+        want = run(optax.chain(
+            adaptive_grad_clip(clip_factor=0.5, exclude_head=True),
+            optax.adamw(learning_rate=lambda _: 1e-3, weight_decay=0.05,
+                        mask=wd_mask)))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
+        # and a pinned-0.01 chain disagrees (the factor really varies)
+        pinned = run(optax.chain(
+            adaptive_grad_clip(clip_factor=0.01, exclude_head=True),
+            optax.adamw(learning_rate=lambda _: 1e-3, weight_decay=0.05,
+                        mask=wd_mask)))
+        assert not np.allclose(got, pinned)
+
+    def test_exclude_head_skips_last_head_move_biases(self):
+        """The reference's `model_parameters(model, exclude_head=True)`
+        drops the last two of model.parameters() — after surgery those
+        are the final head module's move_b4/move_aft biases (head_dist
+        for distilled DeiT, qlinear.py:193-221).  Our exclude_head must
+        leave exactly those unclipped while still clipping every other
+        leaf, including the OTHER head's move biases."""
+        from ofq_tpu.train.optim import adaptive_grad_clip
+
+        rng = np.random.default_rng(6)
+
+        def leaf():
+            return jnp.asarray(rng.normal(size=(5,)).astype(np.float32))
+
+        def big_grad():
+            return jnp.asarray(
+                (rng.normal(size=(5,)) * 50).astype(np.float32))
+
+        params = {
+            "head": {"move_b4": {"bias": leaf()},
+                     "move_aft": {"bias": leaf()}},
+            "head_dist": {"move_b4": {"bias": leaf()},
+                          "move_aft": {"bias": leaf()},
+                          "kernel": jnp.asarray(
+                              rng.normal(size=(4, 5)).astype(np.float32))},
+        }
+        grads = jax.tree.map(lambda p: big_grad() if p.ndim == 1 else
+                             jnp.asarray((rng.normal(size=p.shape) * 50
+                                          ).astype(np.float32)), params)
+        tx = adaptive_grad_clip(clip_factor=0.01, eps=1e-3,
+                                exclude_head=True)
+        out, _ = tx.update(grads, tx.init(None), params)
+        # head_dist move biases pass through untouched
+        for mv in ("move_b4", "move_aft"):
+            np.testing.assert_array_equal(
+                np.asarray(out["head_dist"][mv]["bias"]),
+                np.asarray(grads["head_dist"][mv]["bias"]))
+        # everything else (incl. head's move biases and head_dist.kernel)
+        # is clipped
+        assert not np.allclose(np.asarray(out["head"]["move_b4"]["bias"]),
+                               np.asarray(grads["head"]["move_b4"]["bias"]))
+        assert not np.allclose(np.asarray(out["head"]["move_aft"]["bias"]),
+                               np.asarray(grads["head"]["move_aft"]["bias"]))
+        assert not np.allclose(np.asarray(out["head_dist"]["kernel"]),
+                               np.asarray(grads["head_dist"]["kernel"]))
+        # plain/Swin tree (no head_dist): 'head' becomes the last module
+        params_sw = {"head": params["head"]}
+        grads_sw = {"head": grads["head"]}
+        out_sw, _ = tx.update(grads_sw, tx.init(None), params_sw)
+        for mv in ("move_b4", "move_aft"):
+            np.testing.assert_array_equal(
+                np.asarray(out_sw["head"][mv]["bias"]),
+                np.asarray(grads_sw["head"][mv]["bias"]))
