@@ -246,12 +246,49 @@ def _infer_num_tokens(old_len: int, new_len: int) -> int:
     raise ValueError(f"cannot infer prefix tokens for {old_len}->{new_len}")
 
 
+def _bicubic_1d_weights(n_in: int, n_out: int):
+    """Sample positions + tap weights of torch's upsample_bicubic2d
+    (align_corners=False, antialias=False): cubic convolution with
+    A=-0.75, half-pixel source centers, border-clamped taps.  Returns
+    (idx (n_out, 4) int, w (n_out, 4) float64)."""
+    A = -0.75
+    scale = n_in / n_out
+    x = (np.arange(n_out, dtype=np.float64) + 0.5) * scale - 0.5
+    x0 = np.floor(x)
+    t = x - x0
+
+    def k1(d):  # |d| <= 1
+        return ((A + 2.0) * d - (A + 3.0)) * d * d + 1.0
+
+    def k2(d):  # 1 < |d| < 2
+        return ((A * d - 5.0 * A) * d + 8.0 * A) * d - 4.0 * A
+
+    w = np.stack([k2(t + 1.0), k1(t), k1(1.0 - t), k2(2.0 - t)], axis=1)
+    idx = x0[:, None].astype(np.int64) + np.arange(-1, 3)[None, :]
+    return np.clip(idx, 0, n_in - 1), w
+
+
+def torch_bicubic_resize(grid: np.ndarray, gs_new: tuple) -> np.ndarray:
+    """(H, W, C) -> (gs_new[0], gs_new[1], C), bit-matching torch's
+    F.interpolate(mode='bicubic', align_corners=False) in float64
+    (reference resize_pos_embed, deit_vision_transformer.py:449-468,
+    uses exactly that call)."""
+    g = np.asarray(grid, np.float64)
+    ih, wh = _bicubic_1d_weights(g.shape[0], gs_new[0])
+    g = np.einsum("ot,otwc->owc", wh, g[ih])          # (H', W, C)
+    iw, ww = _bicubic_1d_weights(grid.shape[1], gs_new[1])
+    g = np.einsum("ot,othc->ohc", ww, g.transpose(1, 0, 2)[iw])
+    return g.transpose(1, 0, 2)                       # (H', W', C)
+
+
 def resize_pos_embed(posemb: np.ndarray, new_len: int,
                      num_tokens: int | None = None) -> np.ndarray:
     """Bicubic-resample a (1, N_old, C) position embedding grid to a new
     token count (reference: deit_vision_transformer.py:449-468).  Prefix
     tokens (cls/dist) are carried over unscaled; their count is inferred
-    when not given."""
+    when not given.  The interpolation reproduces torch's
+    F.interpolate(mode='bicubic', align_corners=False) exactly — NOT
+    jax.image.resize, whose Keys kernel (a=-0.5) and antialiasing differ."""
     if num_tokens is None:
         num_tokens = _infer_num_tokens(posemb.shape[1], new_len)
     tok, grid = posemb[:, :num_tokens], posemb[0, num_tokens:]
@@ -259,19 +296,10 @@ def resize_pos_embed(posemb: np.ndarray, new_len: int,
     gs_new = int(math.isqrt(new_len - num_tokens))
     if gs_old == gs_new:
         return posemb
-    import jax
-
-    g = grid.reshape(gs_old, gs_old, -1)
-    g = jax.image.resize(jnp_asarray(g), (gs_new, gs_new, g.shape[-1]),
-                         method="bicubic")
-    g = np.asarray(g).reshape(1, gs_new * gs_new, -1)
+    g = torch_bicubic_resize(grid.reshape(gs_old, gs_old, -1),
+                             (gs_new, gs_new))
+    g = g.astype(posemb.dtype).reshape(1, gs_new * gs_new, -1)
     return np.concatenate([tok, g], axis=1)
-
-
-def jnp_asarray(x):
-    import jax.numpy as jnp
-
-    return jnp.asarray(x)
 
 
 def merge_pretrained(init_params: Dict[str, Any],
