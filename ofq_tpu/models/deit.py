@@ -264,7 +264,9 @@ class VisionTransformer(nn.Module):
 
         x = make_norm(cfg.norm_layer, cfg.ln_eps, "norm", deterministic,
                       cfg.compute_dtype)(x)
-        x = x.astype(jnp.float32)
+        # promote, never demote: head stays fp32 under bf16 masters, fp64
+        # under a double-precision differential run
+        x = x.astype(jnp.promote_types(x.dtype, jnp.float32))
 
         # --- heads (pinned W8A8 when quantized) ---
         def head_module(path: str, name: str):

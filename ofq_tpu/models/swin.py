@@ -615,7 +615,8 @@ class SwinTransformer(nn.Module):
                 dim *= 2
 
         x = _norm(cfg.ln_eps, "norm", cfg.compute_dtype)(x)
-        x = jnp.mean(x, axis=(1, 2)).astype(jnp.float32)  # global average pool
+        x = jnp.mean(x, axis=(1, 2)).astype(
+            jnp.promote_types(x.dtype, jnp.float32))  # global average pool
         if pol.quantizes("head"):
             logits = QHeadLinear(cfg.num_classes, name="head")(x)
         else:

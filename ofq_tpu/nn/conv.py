@@ -44,7 +44,9 @@ class LsqImgQuantizer(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         if self.bit >= 32:
             return x
-        x32 = x.astype(jnp.float32)
+        # promote, never demote: >=fp32 quantizer math under a bf16
+        # stream, full fp64 under a double-precision differential run
+        x32 = x.astype(jnp.promote_types(x.dtype, jnp.float32))
         # stored as f32 0/1 (not bool) so full-variables grads stay legal
         batch_signed = (jnp.min(x32) < -1e-5).astype(jnp.float32)
         if (self.is_initializing()
@@ -131,7 +133,7 @@ class QPatchEmbedConv(nn.Module):
         y = jax.lax.dot_general(
             patches, w2,
             dimension_numbers=(((3,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.promote_types(x.dtype, jnp.float32),
         )
         b = self.param("bias", self.bias_init, (self.features,), jnp.float32)
         return y + b.astype(y.dtype)
@@ -161,6 +163,6 @@ class PatchEmbedConv(nn.Module):
         y = jax.lax.dot_general(
             patches, w2,
             dimension_numbers=(((3,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.promote_types(x.dtype, jnp.float32))
         b = self.param("bias", self.bias_init, (self.features,), jnp.float32)
         return y + b.astype(y.dtype)

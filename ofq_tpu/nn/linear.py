@@ -241,7 +241,8 @@ class QLinear(nn.Module):
                 k2 = kernel.astype(self.compute_dtype)
             y = jax.lax.dot_general(
                 x, k2, (((x.ndim - 1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.promote_types(x.dtype,
+                                                         jnp.float32))
             if self.compute_dtype is not None:
                 y = y.astype(self.compute_dtype)
         if self.use_bias:

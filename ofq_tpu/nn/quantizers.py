@@ -88,7 +88,8 @@ class LsqWeightIterativeFreezing(nn.Module):
         from ..quant.lsq import grad_scale_factor
 
         axis = -1 if self.per_channel else None
-        w32 = w.astype(jnp.float32)
+        # promote, never demote (fp64-transparent for differential tests)
+        w32 = w.astype(jnp.promote_types(w.dtype, jnp.float32))
         s = self.param("s", lambda rng: init_scale(w32, self.bit, False, axis))
         if not self.learnable:
             s = jax.lax.stop_gradient(s)
@@ -139,7 +140,8 @@ class LsqWeight(nn.Module):
         if self.bit >= 32:
             return w
         axis = -1 if self.per_channel else None
-        w32 = w.astype(jnp.float32)
+        # promote, never demote (fp64-transparent for differential tests)
+        w32 = w.astype(jnp.promote_types(w.dtype, jnp.float32))
         s = self.param(
             "s",
             lambda rng: init_scale(w32, self.bit, self.all_positive, axis))

@@ -58,7 +58,9 @@ def statsq_matmul(
     y = jax.lax.dot_general(
         x, wq,
         dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        # promote, never demote: >=fp32 accumulation under bf16/fp32
+        # streams, full fp64 under a double-precision differential run
+        preferred_element_type=jnp.promote_types(x.dtype, jnp.float32),
     )
     # fp32 accumulation, compute-dtype stream
     return y.astype(compute_dtype) if compute_dtype is not None else y

@@ -59,7 +59,10 @@ def statsq_b4_round(w: jax.Array, num_bits: int, *,
     ulp 1.0 at n = 128, which can resolve neither the integer levels nor
     CGA's 0.005 rounding-decision band.
     """
-    w32 = w.astype(jnp.float32)
+    # promote (never demote): bf16 -> fp32 as documented above; fp64 input
+    # stays fp64 so differential tests against a double()'d reference model
+    # are decisive (fp32 rounding here would seed level flips at scale)
+    w32 = w.astype(jnp.promote_types(w.dtype, jnp.float32))
     s = statsq_scale(w32, reduce_axis=reduce_axis)
     clipped = jnp.clip(w32 / s, -1.0, 1.0 - _CLIP_HI_EPS)
     n = float(2 ** (num_bits - 1))
