@@ -173,7 +173,8 @@ class Runner:
             lambda v: TrainState.create(v, tx, ema=args.model_ema,
                                         extra=extra), variables)
 
-    def restore_experiment_params(self, exp_dir: str, variables):
+    def restore_experiment_params(self, exp_dir: str, variables,
+                                  *, use_ema: bool | None = False):
         """Load the best checkpoint's variables from an experiment dir.
 
         The checkpoint is restored into the structure of the model THAT
@@ -181,7 +182,15 @@ class Runner:
         onto the current params by matching paths/shapes — so a CGA phase
         can start from a phase-1 checkpoint even when the architectures
         differ in detail (e.g. fused-qkv phase 1 -> QKR phase 2, the
-        reference's strict=False resume behavior)."""
+        reference's strict=False resume behavior).
+
+        use_ema: False loads the raw weights (warm starts — the
+        reference's --initial-checkpoint path, timm load_checkpoint
+        use_ema default).  None = auto: prefer the EMA weights when the
+        experiment trained with --model-ema — those are the weights that
+        scored checkpoint retention (reference train.py:830-836) and the
+        weights reference eval.py validates under --model-ema
+        (load_checkpoint(..., use_ema=True), eval.py:709-715)."""
         import argparse
 
         from ..convert import merge_pretrained, split_qkv_for_qkr
@@ -205,7 +214,13 @@ class Runner:
         state = restore_best(mgr, self.abstract_state(saved_vars, saved_args))
         if state is None:
             raise FileNotFoundError(f"no orbax checkpoints under {exp_dir}")
-        loaded = jax.tree.map(np.asarray, state.params["params"])
+        src = state.params["params"]
+        if use_ema is None:
+            use_ema = bool(getattr(saved_args, "model_ema", False))
+        if use_ema and state.ema_params is not None:
+            _logger.info("restoring EMA weights (the retention metric's)")
+            src = state.ema_params
+        loaded = jax.tree.map(np.asarray, src)
         # split fused qkv only when the DESTINATION tree is QKR-shaped
         # (q_kernel present) and the loaded tree is fused — decided from
         # structure, not from the student policy: the destination may be
@@ -730,7 +745,11 @@ class Runner:
         first = next(iter(make_dataset(calib_cfg, train=False)))
         params = self.calibrate_init(first)
         if args.resume and os.path.isdir(args.resume):
-            params = self.restore_experiment_params(args.resume, params)
+            # use_ema=None (auto): an experiment trained with --model-ema
+            # is scored/retained by its EMA metric — evaluate those
+            # weights, like reference eval.py's use_ema=True load
+            params = self.restore_experiment_params(args.resume, params,
+                                                    use_ema=None)
         elif args.resume:
             args.initial_checkpoint = args.resume
             params = self.load_pretrained(params)

@@ -80,3 +80,77 @@ class TestFitResumeEvalServe:
         cga_args.experiment = "cga"
         best = Runner(cga_args, cga_mode=True).fit()
         assert best["epoch"] == 0  # exactly one CGA epoch ran
+
+class TestEmaCoherence:
+    """Round-3 verdict missing #3: a --model-ema run is scored/retained by
+    the EMA metric (runner.py evaluate-with-EMA, reference train.py:830-836)
+    — eval/serve/export must consume the SAME weights."""
+
+    def test_eval_serve_export_use_ema_weights(self, tmp_path):
+        import csv
+
+        import jax
+        import numpy as np
+
+        args = make_args(tmp_path, extra=("--model-ema",
+                                          "--model-ema-decay", "0.5"))
+        Runner(args, cga_mode=False).fit()
+
+        # summary.csv records the EMA metric (what retention scored)
+        with open(tmp_path / "t" / "summary.csv") as f:
+            rows = list(csv.DictReader(f))
+        best_top1 = max(float(r["top1"]) for r in rows)
+
+        # evaluate_only reproduces the retained (EMA) metric exactly
+        args2 = make_args(tmp_path, extra=("--model-ema",
+                                           "--model-ema-decay", "0.5"))
+        args2.resume = str(tmp_path / "t")
+        runner2 = Runner(args2, cga_mode=False)
+        metrics = runner2.evaluate_only()
+        assert metrics["top1"] == pytest.approx(best_top1, abs=1e-6)
+
+        # the EMA tree and the raw tree genuinely differ, and the
+        # restore helper selects per use_ema
+        import dataclasses as _dc
+
+        from ofq_tpu.cli.runner import make_dataset
+        from ofq_tpu.serve import Predictor
+
+        calib_cfg = _dc.replace(runner2.data_cfg, shard_index=0,
+                                shard_count=1)
+        first = next(iter(make_dataset(calib_cfg, train=False)))
+        base = runner2.calibrate_init(first)
+        ema_vars = runner2.restore_experiment_params(
+            str(tmp_path / "t"), base, use_ema=None)
+        raw_vars = runner2.restore_experiment_params(
+            str(tmp_path / "t"), base, use_ema=False)
+        ema_leaves = jax.tree.leaves(ema_vars["params"])
+        raw_leaves = jax.tree.leaves(raw_vars["params"])
+        assert any(not np.allclose(a, b)
+                   for a, b in zip(ema_leaves, raw_leaves)), (
+            "EMA and raw trees identical — decay made EMA a no-op?")
+
+        # serving consumes the EMA weights too (Predictor selects them)
+        p = Predictor.from_experiment(str(tmp_path / "t"), batch_size=2)
+        served = jax.tree.leaves(p.params["params"])
+        for a, b in zip(served, ema_leaves):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        # torch export emits the EMA weights (flows through Predictor)
+        from ofq_tpu.convert.torch_export import export_state_dict
+
+        sd_ema = export_state_dict(
+            jax.tree.map(np.asarray, ema_vars["params"]), model_type="deit",
+            quant_stats=jax.tree.map(np.asarray,
+                                     ema_vars.get("quant_stats")))
+        from ofq_tpu.convert.torch_export import export_experiment_torch
+
+        out = export_experiment_torch(str(tmp_path / "t"),
+                                      str(tmp_path / "ema.pth.tar"))
+        import torch
+
+        ck = torch.load(out, map_location="cpu", weights_only=False)
+        for k, v in sd_ema.items():
+            np.testing.assert_array_equal(
+                ck["state_dict"][k].numpy(), np.asarray(v),
+                err_msg=f"exported {k} is not the EMA weight")
