@@ -74,3 +74,23 @@ def test_wait_for_backend_probes_cpu():
     import bench
 
     assert bench.wait_for_backend(attempts=1, probe_timeout=120) == "cpu"
+
+
+def test_measure_reports_spread(monkeypatch):
+    """bench.measure returns best/median/worst of the timed rounds
+    (verdict r3 weak #4: the artifact must carry its own variance
+    bound), and _rate unwraps the best."""
+    import numpy as np
+
+    import bench
+
+    def fake_build(matmul_impl=None, compute_dtype=None, batch=4, model=""):
+        def step(state, batch_d, key, tparams):
+            return state, {"loss": np.float32(1.0)}
+        return step, {}, {"image": 0}, None
+
+    monkeypatch.setattr(bench, "build", fake_build)
+    r = bench.measure(iters=2, batch=4, rounds=3)
+    assert set(r) == {"best", "median", "worst", "rounds", "iters"}
+    assert r["worst"] <= r["median"] <= r["best"]
+    assert bench._rate(iters=1, batch=4, rounds=1) > 0
