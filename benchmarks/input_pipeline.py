@@ -23,14 +23,7 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("data_dir", nargs="?", default="/tmp/shapes")
-    ap.add_argument("--img-size", type=int, default=224)
-    ap.add_argument("--batch-size", type=int, default=128)
-    ap.add_argument("--seconds", type=float, default=15.0)
-    args = ap.parse_args()
-
+def _measure_once(args) -> float:
     from ofq_tpu.data.pipeline import DataConfig, make_dataset
 
     cfg = DataConfig(
@@ -44,11 +37,84 @@ def main():
     while time.perf_counter() - t0 < args.seconds:
         batch = next(it)
         n += batch["image"].shape[0]
-    dt = time.perf_counter() - t0
+    return n / (time.perf_counter() - t0)
+
+
+def _worker_entry(args, workers: int):
+    """Child process: pin tf.data to `workers` threads, print one rate.
+
+    Thread limits must be set before TF initializes, hence the fresh
+    process per point."""
+    import tensorflow as tf
+
+    tf.config.threading.set_intra_op_parallelism_threads(workers)
+    tf.config.threading.set_inter_op_parallelism_threads(workers)
+    print(json.dumps({"workers": workers,
+                      "imgs_per_sec": round(_measure_once(args), 1)}))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("data_dir", nargs="?", default="/tmp/shapes")
+    ap.add_argument("--img-size", type=int, default=224)
+    ap.add_argument("--batch-size", type=int, default=128)
+    ap.add_argument("--seconds", type=float, default=15.0)
+    ap.add_argument("--workers", type=int, default=None,
+                    help="(internal) run ONE point with tf.data pinned to "
+                         "this many threads and exit")
+    ap.add_argument("--curve", action="store_true",
+                    help="measure the worker-scaling curve 1,2,4,...,"
+                         "ncores (each point in a fresh process so the "
+                         "TF thread-pool limit actually applies); turns "
+                         "the SCALING.md per-core extrapolation into a "
+                         "measurement wherever >1 core exists")
+    args = ap.parse_args()
+
+    if args.workers is not None:
+        _worker_entry(args, args.workers)
+        return
+
     ncores = os.cpu_count() or 1
+    if args.curve:
+        import subprocess
+
+        points = []
+        w = 1
+        while w <= ncores:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), args.data_dir,
+                 "--img-size", str(args.img_size),
+                 "--batch-size", str(args.batch_size),
+                 "--seconds", str(args.seconds),
+                 "--workers", str(w)],
+                capture_output=True, text=True, check=True)
+            points.append(json.loads(out.stdout.strip().splitlines()[-1]))
+            w *= 2
+        if points and points[-1]["workers"] != ncores:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), args.data_dir,
+                 "--img-size", str(args.img_size),
+                 "--batch-size", str(args.batch_size),
+                 "--seconds", str(args.seconds),
+                 "--workers", str(ncores)],
+                capture_output=True, text=True, check=True)
+            points.append(json.loads(out.stdout.strip().splitlines()[-1]))
+        base = points[0]["imgs_per_sec"]
+        print(json.dumps({
+            "curve": points,
+            "cores": ncores,
+            "parallel_efficiency_at_max": round(
+                points[-1]["imgs_per_sec"]
+                / (base * points[-1]["workers"]), 3) if base else None,
+            "img_size": args.img_size,
+            "aug": "rrc+hflip+randaug(m9)+erasing",
+        }))
+        return
+
+    rate = _measure_once(args)
     print(json.dumps({
-        "imgs_per_sec": round(n / dt, 1),
-        "imgs_per_sec_per_core": round(n / dt / ncores, 1),
+        "imgs_per_sec": round(rate, 1),
+        "imgs_per_sec_per_core": round(rate / ncores, 1),
         "cores": ncores,
         "img_size": args.img_size,
         "aug": "rrc+hflip+randaug(m9)+erasing",

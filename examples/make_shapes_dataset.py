@@ -31,18 +31,99 @@ def render(kind: str, rng, size: int = 64) -> Image.Image:
     return img
 
 
-def main(out_dir: str = "/tmp/shapes", n: int = 200):
+HARD_KINDS = ("circle", "square", "triangle", "pentagon", "star", "cross")
+
+
+def _regular_polygon(x, y, r, n_sides, rot):
+    import math
+
+    return [(x + r * math.cos(rot + 2 * math.pi * k / n_sides),
+             y + r * math.sin(rot + 2 * math.pi * k / n_sides))
+            for k in range(n_sides)]
+
+
+def render_hard(kind: str, rng, size: int = 64) -> Image.Image:
+    """Harder variant for the bf16 accuracy study (verdict r3 weak #2):
+    6 confusable classes, random rotation/size, overlapping fill vs
+    background luminance (low-contrast cases), additive noise, distractor
+    strokes, occasional occluding bar, jittered JPEG quality — tuned so
+    fp32 does NOT saturate at 100% and a 1500+ image val split resolves
+    sub-0.1% accuracy differences."""
+    import math
+
+    bg = tuple(rng.integers(0, 120, 3).tolist())
+    img = Image.new("RGB", (size, size), bg)
+    d = ImageDraw.Draw(img)
+    color = tuple(rng.integers(70, 255, 3).tolist())
+    x, y = (int(v) for v in rng.integers(size // 3, 2 * size // 3, 2))
+    r = int(rng.integers(7, size // 3))
+    rot = float(rng.uniform(0, 2 * math.pi))
+    if kind == "circle":
+        d.ellipse([x - r, y - r, x + r, y + r], fill=color)
+    elif kind == "square":
+        d.polygon(_regular_polygon(x, y, r, 4, rot), fill=color)
+    elif kind == "triangle":
+        d.polygon(_regular_polygon(x, y, r, 3, rot), fill=color)
+    elif kind == "pentagon":
+        d.polygon(_regular_polygon(x, y, r, 5, rot), fill=color)
+    elif kind == "star":
+        pts = []
+        for k in range(10):
+            rr = r if k % 2 == 0 else max(2, int(0.45 * r))
+            pts.append((x + rr * math.cos(rot + math.pi * k / 5),
+                        y + rr * math.sin(rot + math.pi * k / 5)))
+        d.polygon(pts, fill=color)
+    else:  # cross: two rotated bars
+        w = max(2, r // 3)
+        for ang in (rot, rot + math.pi / 2):
+            dx, dy = math.cos(ang), math.sin(ang)
+            px, py = -dy * w, dx * w
+            d.polygon([(x - r * dx + px, y - r * dy + py),
+                       (x + r * dx + px, y + r * dy + py),
+                       (x + r * dx - px, y + r * dy - py),
+                       (x - r * dx - px, y - r * dy - py)], fill=color)
+    # distractor strokes (never class-shaped)
+    for _ in range(int(rng.integers(0, 4))):
+        x0, y0, x1, y1 = rng.integers(0, size, 4)
+        d.line([int(x0), int(y0), int(x1), int(y1)],
+               fill=tuple(rng.integers(0, 255, 3).tolist()), width=1)
+    # occluding bar with p ~ 0.3
+    if rng.uniform() < 0.3:
+        if rng.uniform() < 0.5:
+            x0 = int(rng.integers(0, size))
+            d.rectangle([x0, 0, min(size, x0 + int(rng.integers(2, 7))),
+                         size], fill=bg)
+        else:
+            y0 = int(rng.integers(0, size))
+            d.rectangle([0, y0, size,
+                         min(size, y0 + int(rng.integers(2, 7)))], fill=bg)
+    # additive pixel noise
+    arr = np.asarray(img, np.int16)
+    amp = int(rng.integers(10, 55))
+    arr = np.clip(arr + rng.integers(-amp, amp + 1, arr.shape), 0, 255)
+    return Image.fromarray(arr.astype(np.uint8))
+
+
+def main(out_dir: str = "/tmp/shapes", n: int = 200, hard: bool = False):
     rng = np.random.default_rng(0)
-    for split, count in (("train", n), ("validation", max(n // 4, 8))):
-        for kind in ("circle", "square", "triangle"):
+    kinds = HARD_KINDS if hard else ("circle", "square", "triangle")
+    fn = render_hard if hard else render
+    n_val = n if hard else max(n // 4, 8)  # hard: full-size val split so
+    # accuracy resolves below 0.1% (bf16 study needs >=1500 val images)
+    for split, count in (("train", n), ("validation", n_val)):
+        for kind in kinds:
             d = os.path.join(out_dir, split, kind)
             os.makedirs(d, exist_ok=True)
             for i in range(count):
-                render(kind, rng).save(os.path.join(d, f"{i:04d}.jpeg"),
-                                       quality=90)
-    print(f"wrote shapes dataset to {out_dir}")
+                q = int(rng.integers(40, 91)) if hard else 90
+                fn(kind, rng).save(os.path.join(d, f"{i:04d}.jpeg"),
+                                   quality=q)
+    print(f"wrote {'hard ' if hard else ''}shapes dataset to {out_dir} "
+          f"({len(kinds)} classes, {n}/cls train, {n_val}/cls val)")
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/shapes",
-         int(sys.argv[2]) if len(sys.argv) > 2 else 200)
+    argv = [a for a in sys.argv[1:] if a != "--hard"]
+    main(argv[0] if argv else "/tmp/shapes",
+         int(argv[1]) if len(argv) > 1 else 200,
+         hard="--hard" in sys.argv)
