@@ -162,6 +162,39 @@ class TestCGAMasks:
         got = np.asarray(outer_freeze_mask(jnp.asarray(w_torch.T), bits, br)).T
         np.testing.assert_array_equal(got, want)
 
+    @pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+    @pytest.mark.parametrize("shape", [(48, 24), (384, 1152), (1152, 384)])
+    @pytest.mark.parametrize("bits,br", [(2, 0.005), (4, 0.1)])
+    def test_outer_freeze_mask_loop_property(self, dtype, shape, bits, br):
+        """Property version of the loop equivalence (verdict r3 weak #6):
+        production shapes (DeiT-S qkv 384x1152 both orientations) x
+        {fp32, bf16 master} x {2,4} bits, including a half-integer-rich
+        adversarial weight draw that lands the pre-round image on band
+        edges.  The loop reference consumes the SAME fp32 image the
+        closed form derives from (statsq_b4_round), so the assertion is
+        exact — what is under test is the data-dependent
+        np.arange(min, max)-exclusive level range + floor/frac band
+        logic, not fp reduction order."""
+        from ofq_tpu.quant.statsq import statsq_b4_round
+
+        rng = np.random.default_rng(abs(hash((shape, bits, dtype))) % 2**31)
+        n = float(2 ** (bits - 1))
+        # half the entries snapped to half-integer multiples of 1/n (the
+        # mid-rise decision boundaries) plus tiny jitter -> b4_round sits
+        # ON/near band edges; rest plain gaussian
+        snapped = (rng.integers(-int(n), int(n), size=shape) + 0.5) / n
+        snapped += rng.normal(scale=br / n, size=shape)
+        gauss = rng.normal(scale=0.7, size=shape)
+        pick = rng.uniform(size=shape) < 0.5
+        w = jnp.asarray(np.where(pick, snapped, gauss), dtype)
+        b4 = np.asarray(statsq_b4_round(w, bits)[0])
+        r = np.round(b4)
+        lo, hi = int(r.min()), int(r.max())
+        keep = np_band_mask_loop(b4, lo, hi - 1, br)  # arange excludes max
+        want = 1.0 - keep.astype(np.float32)
+        got = np.asarray(outer_freeze_mask(w, bits, br))
+        np.testing.assert_array_equal(got, want)
+
     def test_freeze_mask_exact_under_bf16_masters(self):
         """--master-dtype bfloat16: the band test must run in fp32 — a
         bf16 image `clip(w/s)*n - 0.5` has ulp 0.0625-1.0 at n=128,
