@@ -9,8 +9,12 @@ Protocol — the largest controlled differential this box allows:
   * model: real deit_tiny_distilled_patch16_224 at 224x224 (full DeiT-T
     geometry, N=198; only the dataset is a stand-in — ImageNet does not
     exist on this machine, see VERDICT r2 missing #1)
-  * data: the shapes ImageFolder (real JPEGs through the real tf.data
-    train pipeline; 600 train / 150 val)
+  * data: the medium-difficulty shapes ImageFolder (6 confusable rotated
+    classes, noise/occlusion/JPEG jitter; real JPEGs through the real
+    tf.data train pipeline; 1800 train / 1800 val).  Round-3's 150-image
+    easy val set resolved accuracy in 0.67% steps and every fp32 arm
+    saturated at 100% (verdict r3 weak #2); 1800 val images resolve
+    0.056% steps and the medium task leaves fp32 below ceiling.
   * N_SEEDS seeds x {float32, bfloat16}, each running the FULL chain
     FP -> W2A2 QKR QAT (KD from the arm's own FP ckpt) -> CGA
     (examples/three_phase_shapes.sh structure, reference recipe phases)
@@ -82,10 +86,12 @@ def best_top1(exp_dir):
     return best
 
 
-def chain(out_root, data, seed, dtype, epochs, cga_epochs, batch, steps):
+def chain(out_root, data, seed, dtype, epochs, cga_epochs, batch, steps,
+          num_classes=3):
     tag = f"s{seed}_{dtype[:4]}"
     common = [
-        "ofq_tpu.cli.train", data, "--img-size", "224", "--num-classes", "3",
+        "ofq_tpu.cli.train", data, "--img-size", "224",
+        "--num-classes", str(num_classes),
         "--batch-size", str(batch), "--steps-per-epoch", str(steps),
         "--mixup", "0.0", "--cutmix", "0.0", "--aa", "", "--reprob", "0.0",
         "--smoothing", "0.0", "--model", "deit_tiny_distilled_patch16_224",
@@ -127,7 +133,7 @@ def chain(out_root, data, seed, dtype, epochs, cga_epochs, batch, steps):
     return res
 
 
-def compare_arms(out_root, data, seed):
+def compare_arms(out_root, data, seed, num_classes=3):
     """Cross-arm comparison of the final CGA checkpoints: LSQ scale drift
     + logit divergence on one fixed deterministic batch."""
     import numpy as np
@@ -144,7 +150,7 @@ def compare_arms(out_root, data, seed):
             os.path.join(out_root, f"cga_{tag}"), batch_size=32)
     batch = next(iter(make_dataset(
         DataConfig(data_dir=data, img_size=224, batch_size=32,
-                   num_classes=3, seed=0), train=False)))
+                   num_classes=num_classes, seed=0), train=False)))
     x = batch["image"][:32]
 
     out = {}
@@ -171,17 +177,23 @@ def compare_arms(out_root, data, seed):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/bf16_study")
-    ap.add_argument("--data", default="/tmp/shapes")
+    ap.add_argument("--data", default="/tmp/shapes_med")
+    ap.add_argument("--level", default="medium",
+                    choices=("easy", "medium", "hard"),
+                    help="difficulty when auto-generating --data")
+    ap.add_argument("--n-per-class", type=int, default=300)
+    ap.add_argument("--num-classes", type=int, default=6)
     ap.add_argument("--seeds", type=int, default=3)
     ap.add_argument("--epochs", type=int, default=12)
     ap.add_argument("--cga-epochs", type=int, default=4)
     ap.add_argument("--batch", type=int, default=32)
-    ap.add_argument("--steps", type=int, default=18)
+    ap.add_argument("--steps", type=int, default=56)
     a = ap.parse_args()
     os.makedirs(a.out, exist_ok=True)
     if not os.path.isdir(os.path.join(a.data, "train")):
         subprocess.run([sys.executable, "examples/make_shapes_dataset.py",
-                        a.data], check=True, cwd=REPO)
+                        a.data, str(a.n_per_class), f"--{a.level}"],
+                       check=True, cwd=REPO)
 
     results = {"config": vars(a), "runs": {}, "compare": {}}
     for seed in range(a.seeds):
@@ -190,12 +202,12 @@ def main():
             print(f"=== {key}", flush=True)
             results["runs"][key] = chain(
                 a.out, a.data, seed, dtype, a.epochs, a.cga_epochs,
-                a.batch, a.steps)
+                a.batch, a.steps, num_classes=a.num_classes)
             print(json.dumps(results["runs"][key]), flush=True)
             with open(os.path.join(a.out, "bf16_study.json"), "w") as f:
                 json.dump(results, f, indent=1)
         results["compare"][f"seed{seed}"] = compare_arms(
-            a.out, a.data, seed)
+            a.out, a.data, seed, num_classes=a.num_classes)
         with open(os.path.join(a.out, "bf16_study.json"), "w") as f:
             json.dump(results, f, indent=1)
 
