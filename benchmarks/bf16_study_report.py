@@ -11,10 +11,16 @@ from __future__ import annotations
 
 import argparse
 import csv
+import itertools
 import json
 import os
+import sys
 
 import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # lsq_drift
 
 
 def read_summary(exp_dir):
@@ -26,9 +32,39 @@ def read_summary(exp_dir):
     return rows
 
 
+def seed_control_drift(out, seeds):
+    """Same-dtype cross-SEED LSQ-scale drift from the study's own final
+    CGA checkpoints — the seed-noise yardstick the cross-dtype drift is
+    judged against, measured under the exact study protocol (supersedes
+    the separate benchmarks/bf16_seed_control.py runs)."""
+    from lsq_drift import rel_drift
+
+    from ofq_tpu.serve import Predictor
+
+    ctl = {}
+    for dtype, tag in (("float32", "floa"), ("bfloat16", "bflo")):
+        params = {}
+        for s in range(seeds):
+            params[s] = Predictor.from_experiment(
+                os.path.join(out, f"cga_s{s}_{tag}"),
+                batch_size=8).params["params"]
+        meds, p95s = [], []
+        for i, j in itertools.combinations(range(seeds), 2):
+            rel = rel_drift(params[i], params[j])
+            meds.append(float(np.median(rel)))
+            p95s.append(float(np.percentile(rel, 95)))
+        ctl[dtype] = {"pairs": len(meds),
+                      "median_range": [min(meds), max(meds)],
+                      "p95_range": [min(p95s), max(p95s)]}
+    return ctl
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/bf16_study")
+    ap.add_argument("--no-drift-control", action="store_true",
+                    help="skip the cross-seed drift control (loads "
+                         "2*seeds checkpoints)")
     a = ap.parse_args()
     with open(os.path.join(a.out, "bf16_study.json")) as f:
         study = json.load(f)
@@ -74,6 +110,8 @@ def main():
         else "FAIL",
         "criterion": "|mean delta| <= max(0.2 top-1, fp32 seed sigma)",
     }
+    if not a.no_drift_control:
+        report["seed_control_drift"] = seed_control_drift(a.out, seeds)
     path = os.path.join(a.out, "bf16_study_report.json")
     with open(path, "w") as f:
         json.dump(report, f, indent=1)
