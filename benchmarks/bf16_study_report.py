@@ -36,7 +36,8 @@ def seed_control_drift(out, seeds):
     """Same-dtype cross-SEED LSQ-scale drift from the study's own final
     CGA checkpoints — the seed-noise yardstick the cross-dtype drift is
     judged against, measured under the exact study protocol (supersedes
-    the separate benchmarks/bf16_seed_control.py runs)."""
+    the separate benchmarks/bf16_seed_control.py runs).  `seeds` is the
+    list of complete seed indices."""
     from lsq_drift import rel_drift
 
     from ofq_tpu.serve import Predictor
@@ -44,12 +45,12 @@ def seed_control_drift(out, seeds):
     ctl = {}
     for dtype, tag in (("float32", "floa"), ("bfloat16", "bflo")):
         params = {}
-        for s in range(seeds):
+        for s in seeds:
             params[s] = Predictor.from_experiment(
                 os.path.join(out, f"cga_s{s}_{tag}"),
                 batch_size=8).params["params"]
         meds, p95s = [], []
-        for i, j in itertools.combinations(range(seeds), 2):
+        for i, j in itertools.combinations(seeds, 2):
             rel = rel_drift(params[i], params[j])
             meds.append(float(np.median(rel)))
             p95s.append(float(np.percentile(rel, 95)))
@@ -68,12 +69,16 @@ def main():
     a = ap.parse_args()
     with open(os.path.join(a.out, "bf16_study.json")) as f:
         study = json.load(f)
-    seeds = study["config"]["seeds"]
+    # analyze every COMPLETE (fp32, bf16) seed pair — tolerant of a study
+    # cut short by the round clock / a tunnel outage
+    pairs = [s for s in range(study["config"]["seeds"])
+             if f"seed{s}_float32" in study["runs"]
+             and f"seed{s}_bfloat16" in study["runs"]]
 
-    report = {"per_seed": {}}
+    report = {"per_seed": {}, "n_seed_pairs": len(pairs)}
     deltas = {"fp": [], "qat": [], "cga": []}
     loss_gaps = []
-    for s in range(seeds):
+    for s in pairs:
         per = {}
         for phase in ("fp", "qat", "cga"):
             t32 = study["runs"][f"seed{s}_float32"][f"top1_{phase}"]
@@ -97,8 +102,8 @@ def main():
         report["per_seed"][f"seed{s}"] = per
 
     fp32_cga = [study["runs"][f"seed{s}_float32"]["top1_cga"]
-                for s in range(seeds)]
-    sigma = float(np.std(fp32_cga, ddof=1)) if seeds > 1 else 0.0
+                for s in pairs]
+    sigma = float(np.std(fp32_cga, ddof=1)) if len(pairs) > 1 else 0.0
     mean_delta = float(np.mean(deltas["cga"]))
     report["summary"] = {
         "mean_final_top1_delta_bf16_minus_fp32": mean_delta,
@@ -110,8 +115,8 @@ def main():
         else "FAIL",
         "criterion": "|mean delta| <= max(0.2 top-1, fp32 seed sigma)",
     }
-    if not a.no_drift_control:
-        report["seed_control_drift"] = seed_control_drift(a.out, seeds)
+    if not a.no_drift_control and len(pairs) > 1:
+        report["seed_control_drift"] = seed_control_drift(a.out, pairs)
     path = os.path.join(a.out, "bf16_study_report.json")
     with open(path, "w") as f:
         json.dump(report, f, indent=1)
