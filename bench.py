@@ -41,6 +41,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
+import statistics
 import sys
 import time
 
@@ -150,7 +151,7 @@ def measure(matmul_impl=None, compute_dtype=None, iters=ITERS,
         float(metrics["loss"])  # host fetch == completion barrier
         times.append(time.perf_counter() - t0)
     rates = sorted(batch * iters / t for t in times)
-    return {"best": rates[-1], "median": rates[len(rates) // 2],
+    return {"best": rates[-1], "median": float(statistics.median(rates)),
             "worst": rates[0], "rounds": rounds, "iters": iters}
 
 

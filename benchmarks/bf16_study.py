@@ -195,7 +195,26 @@ def main():
                         a.data, str(a.n_per_class), f"--{a.level}"],
                        check=True, cwd=REPO)
 
+    # the dataset on disk is the ground truth (an existing --data dir may
+    # predate this invocation's --level/--n-per-class): fingerprint it and
+    # refuse a class-count mismatch instead of silently training a
+    # wrong-sized head (e.g. --level easy generates 3 classes while the
+    # default --num-classes is 6)
+    train_dir = os.path.join(a.data, "train")
+    classes = sorted(d for d in os.listdir(train_dir)
+                     if os.path.isdir(os.path.join(train_dir, d)))
+    if len(classes) != a.num_classes:
+        sys.exit(f"--num-classes {a.num_classes} but {train_dir} holds "
+                 f"{len(classes)} classes {classes}; pass --num-classes "
+                 f"{len(classes)} or regenerate --data")
     results = {"config": vars(a), "runs": {}, "compare": {}}
+    results["config"]["dataset_fingerprint"] = {
+        "classes": classes,
+        "train_per_class": {
+            c: len(os.listdir(os.path.join(train_dir, c))) for c in classes},
+        "val_per_class": {
+            c: len(os.listdir(os.path.join(a.data, "validation", c)))
+            for c in classes}}
     for seed in range(a.seeds):
         for dtype in ("float32", "bfloat16"):
             key = f"seed{seed}_{dtype}"

@@ -76,6 +76,15 @@ def main():
              and f"seed{s}_bfloat16" in study["runs"]]
 
     report = {"per_seed": {}, "n_seed_pairs": len(pairs)}
+    if not pairs:
+        # no complete pair: say so explicitly instead of emitting a
+        # NaN-laden FAIL (json.dump would write non-standard NaN tokens)
+        report["summary"] = {"acceptance": "NO-DATA",
+                             "reason": "no complete (fp32, bf16) seed pair"}
+        path = os.path.join(a.out, "bf16_study_report.json")
+        with open(path, "w") as f:
+            json.dump(report, f, indent=1)
+        sys.exit(json.dumps(report["summary"]))
     deltas = {"fp": [], "qat": [], "cga": []}
     loss_gaps = []
     for s in pairs:

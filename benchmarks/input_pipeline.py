@@ -78,27 +78,27 @@ def main():
     if args.curve:
         import subprocess
 
-        points = []
+        worker_counts = []
         w = 1
         while w <= ncores:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), args.data_dir,
-                 "--img-size", str(args.img_size),
-                 "--batch-size", str(args.batch_size),
-                 "--seconds", str(args.seconds),
-                 "--workers", str(w)],
-                capture_output=True, text=True, check=True)
-            points.append(json.loads(out.stdout.strip().splitlines()[-1]))
+            worker_counts.append(w)
             w *= 2
-        if points and points[-1]["workers"] != ncores:
+        if worker_counts[-1] != ncores:
+            worker_counts.append(ncores)
+
+        def one_point(workers):
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), args.data_dir,
                  "--img-size", str(args.img_size),
                  "--batch-size", str(args.batch_size),
                  "--seconds", str(args.seconds),
-                 "--workers", str(ncores)],
-                capture_output=True, text=True, check=True)
-            points.append(json.loads(out.stdout.strip().splitlines()[-1]))
+                 "--workers", str(workers)],
+                capture_output=True, text=True)
+            if out.returncode != 0:
+                sys.exit(f"worker={workers} point failed:\n{out.stderr}")
+            return json.loads(out.stdout.strip().splitlines()[-1])
+
+        points = [one_point(w) for w in worker_counts]
         base = points[0]["imgs_per_sec"]
         print(json.dumps({
             "curve": points,

@@ -125,38 +125,38 @@ def main():
     iters = 4 if a.quick else 8
     res = {}
 
-    res["deit_s_bf16"] = round(bench.measure(
+    res["deit_s_bf16"] = round(bench._rate(
         compute_dtype="bfloat16", iters=iters, rounds=3), 1)
-    res["deit_s_int8"] = round(bench.measure(
+    res["deit_s_int8"] = round(bench._rate(
         matmul_impl="int8", compute_dtype="bfloat16", iters=iters,
         rounds=3), 1)
-    res["deit_s_fp32"] = round(bench.measure(iters=max(iters // 2, 2),
+    res["deit_s_fp32"] = round(bench._rate(iters=max(iters // 2, 2),
                                              rounds=2), 1)
     # single-chip batch knee for the headline config (bench.BATCH=144 is
     # the measured winner; ~= the recipe's per-device batch 140)
     res["deit_s_int8_batch_sweep"] = {
-        str(b): round(bench.measure(
+        str(b): round(bench._rate(
             matmul_impl="int8", compute_dtype="bfloat16",
             iters=max(iters // 2, 2), rounds=2, batch=b), 1)
         for b in (128, 160, 192, 256)}
-    res["swin_t_bf16_B64"] = round(bench.measure(
+    res["swin_t_bf16_B64"] = round(bench._rate(
         compute_dtype="bfloat16", iters=iters, rounds=3, batch=64,
         model="swin_t"), 1)
-    res["swin_t_bf16_B128"] = round(bench.measure(
+    res["swin_t_bf16_B128"] = round(bench._rate(
         compute_dtype="bfloat16", iters=max(iters // 2, 2), rounds=2,
         batch=128, model="swin_t"), 1)
-    res["swin_t_int8_B64"] = round(bench.measure(
+    res["swin_t_int8_B64"] = round(bench._rate(
         matmul_impl="int8", compute_dtype="bfloat16", iters=iters,
         rounds=2, batch=64, model="swin_t"), 1)
     # B48 is the measured Swin int8 knee (step_anatomy sweep 48/64/80/96:
     # 533/525/513/495 img/s; bench.py's swin secondary runs B48)
-    res["swin_t_int8_B48"] = round(bench.measure(
+    res["swin_t_int8_B48"] = round(bench._rate(
         matmul_impl="int8", compute_dtype="bfloat16", iters=iters,
         rounds=2, batch=48, model="swin_t"), 1)
-    res["deit_b_bf16_B64"] = round(bench.measure(
+    res["deit_b_bf16_B64"] = round(bench._rate(
         compute_dtype="bfloat16", iters=max(iters // 2, 2), rounds=2,
         batch=64, model="deit_base_distilled_patch16_224"), 1)
-    res["deit_b_int8_B64"] = round(bench.measure(
+    res["deit_b_int8_B64"] = round(bench._rate(
         matmul_impl="int8", compute_dtype="bfloat16",
         iters=max(iters // 2, 2), rounds=2,
         batch=64, model="deit_base_distilled_patch16_224"), 1)

@@ -128,9 +128,10 @@ def _patch_embed(sd, prefix, dst, tree, img_size: int):
         b = v.reshape(side, side)
         if side != img_size:
             import jax
+            import jax.numpy as jnp
 
             b = np.asarray(jax.image.resize(
-                jnp_asarray(b), (img_size, img_size), method="bilinear"))
+                jnp.asarray(b), (img_size, img_size), method="bilinear"))
         return b
 
     for mv in ("move_b4", "move_aft"):

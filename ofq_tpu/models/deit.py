@@ -34,6 +34,7 @@ from ..nn.attention import Attention, QAttention, QAttentionQKR
 from ..nn.conv import PatchEmbedConv, QPatchEmbedConv
 from ..nn.linear import Mlp, QHeadLinear, QMlp
 from ..quant.policy import QuantPolicy
+from ..quant.ste import at_least_f32
 
 
 @dataclasses.dataclass(frozen=True)
@@ -264,9 +265,8 @@ class VisionTransformer(nn.Module):
 
         x = make_norm(cfg.norm_layer, cfg.ln_eps, "norm", deterministic,
                       cfg.compute_dtype)(x)
-        # promote, never demote: head stays fp32 under bf16 masters, fp64
-        # under a double-precision differential run
-        x = x.astype(jnp.promote_types(x.dtype, jnp.float32))
+        # head stays >=fp32 under bf16 masters
+        x = x.astype(at_least_f32(x.dtype))
 
         # --- heads (pinned W8A8 when quantized) ---
         def head_module(path: str, name: str):

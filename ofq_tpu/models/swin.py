@@ -38,6 +38,7 @@ from ..nn.attention import qkr_quant_chain
 from ..nn.bias import LearnableBias
 from ..nn.conv import QPatchEmbedConv
 from ..nn.linear import Mlp, QHeadLinear, QLinear, QMlp
+from ..quant.ste import at_least_f32
 from ..nn.quantizers import LsqAct
 from ..quant.policy import QuantPolicy
 from ..quant.statsq import statsq_quantize
@@ -616,7 +617,7 @@ class SwinTransformer(nn.Module):
 
         x = _norm(cfg.ln_eps, "norm", cfg.compute_dtype)(x)
         x = jnp.mean(x, axis=(1, 2)).astype(
-            jnp.promote_types(x.dtype, jnp.float32))  # global average pool
+            at_least_f32(x.dtype))  # global average pool, head >=fp32
         if pol.quantizes("head"):
             logits = QHeadLinear(cfg.num_classes, name="head")(x)
         else:

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..quant.lsq import init_scale, lsq_quantize_dynamic_signed
+from ..quant.ste import at_least_f32
 from .bias import ImageBias
 from .quantizers import LsqAct, LsqWeight
 
@@ -44,9 +45,7 @@ class LsqImgQuantizer(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         if self.bit >= 32:
             return x
-        # promote, never demote: >=fp32 quantizer math under a bf16
-        # stream, full fp64 under a double-precision differential run
-        x32 = x.astype(jnp.promote_types(x.dtype, jnp.float32))
+        x32 = x.astype(at_least_f32(x.dtype))
         # stored as f32 0/1 (not bool) so full-variables grads stay legal
         batch_signed = (jnp.min(x32) < -1e-5).astype(jnp.float32)
         if (self.is_initializing()
@@ -133,7 +132,7 @@ class QPatchEmbedConv(nn.Module):
         y = jax.lax.dot_general(
             patches, w2,
             dimension_numbers=(((3,), (0,)), ((), ())),
-            preferred_element_type=jnp.promote_types(x.dtype, jnp.float32),
+            preferred_element_type=at_least_f32(x.dtype),
         )
         b = self.param("bias", self.bias_init, (self.features,), jnp.float32)
         return y + b.astype(y.dtype)
@@ -163,6 +162,6 @@ class PatchEmbedConv(nn.Module):
         y = jax.lax.dot_general(
             patches, w2,
             dimension_numbers=(((3,), (0,)), ((), ())),
-            preferred_element_type=jnp.promote_types(x.dtype, jnp.float32))
+            preferred_element_type=at_least_f32(x.dtype))
         b = self.param("bias", self.bias_init, (self.features,), jnp.float32)
         return y + b.astype(y.dtype)

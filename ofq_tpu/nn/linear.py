@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import statsq_matmul
+from ..quant.ste import at_least_f32
 from .bias import LearnableBias
 from .quantizers import LsqAct, LsqWeight
 
@@ -241,8 +242,7 @@ class QLinear(nn.Module):
                 k2 = kernel.astype(self.compute_dtype)
             y = jax.lax.dot_general(
                 x, k2, (((x.ndim - 1,), (0,)), ((), ())),
-                preferred_element_type=jnp.promote_types(x.dtype,
-                                                         jnp.float32))
+                preferred_element_type=at_least_f32(x.dtype))
             if self.compute_dtype is not None:
                 y = y.astype(self.compute_dtype)
         if self.use_bias:

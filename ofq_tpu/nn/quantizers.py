@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..quant.lsq import init_scale, lsq_quantize
+from ..quant.ste import at_least_f32
 
 
 class LsqAct(nn.Module):
@@ -88,8 +89,7 @@ class LsqWeightIterativeFreezing(nn.Module):
         from ..quant.lsq import grad_scale_factor
 
         axis = -1 if self.per_channel else None
-        # promote, never demote (fp64-transparent for differential tests)
-        w32 = w.astype(jnp.promote_types(w.dtype, jnp.float32))
+        w32 = w.astype(at_least_f32(w.dtype))
         s = self.param("s", lambda rng: init_scale(w32, self.bit, False, axis))
         if not self.learnable:
             s = jax.lax.stop_gradient(s)
@@ -140,8 +140,7 @@ class LsqWeight(nn.Module):
         if self.bit >= 32:
             return w
         axis = -1 if self.per_channel else None
-        # promote, never demote (fp64-transparent for differential tests)
-        w32 = w.astype(jnp.promote_types(w.dtype, jnp.float32))
+        w32 = w.astype(at_least_f32(w.dtype))
         s = self.param(
             "s",
             lambda rng: init_scale(w32, self.bit, self.all_positive, axis))

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..quant.statsq import statsq_quantize
+from ..quant.ste import at_least_f32
 
 _DEFAULT_IMPL = "xla"
 
@@ -58,9 +59,7 @@ def statsq_matmul(
     y = jax.lax.dot_general(
         x, wq,
         dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
-        # promote, never demote: >=fp32 accumulation under bf16/fp32
-        # streams, full fp64 under a double-precision differential run
-        preferred_element_type=jnp.promote_types(x.dtype, jnp.float32),
+        preferred_element_type=at_least_f32(x.dtype),
     )
     # fp32 accumulation, compute-dtype stream
     return y.astype(compute_dtype) if compute_dtype is not None else y

@@ -1,6 +1,7 @@
 """Functional quantization core (STE, StatsQ, LSQ, CGA masks, oscillation)."""
 
-from .ste import clip_lower, grad_scale, passthrough, round_pass
+from .ste import (at_least_f32, clip_lower, grad_scale, passthrough,
+                  round_pass)
 from .statsq import (
     cga_band_mask,
     outer_freeze_mask,
@@ -24,7 +25,7 @@ from .oscillation import (
 )
 
 __all__ = [
-    "clip_lower", "grad_scale", "passthrough", "round_pass",
+    "at_least_f32", "clip_lower", "grad_scale", "passthrough", "round_pass",
     "cga_band_mask", "outer_freeze_mask", "statsq_quantize",
     "statsq_quantize_cga", "statsq_scale",
     "grad_scale_factor", "init_scale", "lsq_quantize", "thresholds",

@@ -24,7 +24,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .ste import passthrough
+from .ste import at_least_f32, passthrough
 
 # Clamp epsilon of the reference implementation (statsq.py:145): scaled
 # weights live in [-clip/2, clip/2 - 1e-6] with clip_val = 2.0.
@@ -60,9 +60,9 @@ def statsq_b4_round(w: jax.Array, num_bits: int, *,
     CGA's 0.005 rounding-decision band.
     """
     # promote (never demote): bf16 -> fp32 as documented above; fp64 input
-    # stays fp64 so differential tests against a double()'d reference model
-    # are decisive (fp32 rounding here would seed level flips at scale)
-    w32 = w.astype(jnp.promote_types(w.dtype, jnp.float32))
+    # at_least_f32: level rounding at fp32 under bf16 streams; a wrong
+    # dtype here would seed level flips at scale
+    w32 = w.astype(at_least_f32(w.dtype))
     s = statsq_scale(w32, reduce_axis=reduce_axis)
     clipped = jnp.clip(w32 / s, -1.0, 1.0 - _CLIP_HI_EPS)
     n = float(2 ** (num_bits - 1))

@@ -41,6 +41,20 @@ def clip_lower(x: jax.Array, eps) -> jax.Array:
     return x + jax.lax.stop_gradient(clipped - x)
 
 
+def at_least_f32(dtype) -> jnp.dtype:
+    """Promote, never demote: the quantizer-math / accumulation dtype.
+
+    Quantizer arithmetic (scale fits, level rounding, clip boundaries) and
+    dot accumulation must run at >=fp32 under a bf16 compute stream — and
+    stay fp64 under a double-precision differential run so comparisons
+    against a double()'d reference model are decisive.  One definition so
+    the invariant can't drift per call site; use as
+    `x.astype(at_least_f32(x.dtype))` or
+    `preferred_element_type=at_least_f32(x.dtype)`.
+    """
+    return jnp.promote_types(dtype, jnp.float32)
+
+
 def passthrough(target: jax.Array, x: jax.Array) -> jax.Array:
     """Forward `target`, but gradients flow to `x` with identity Jacobian.
 

@@ -94,3 +94,66 @@ def test_measure_reports_spread(monkeypatch):
     assert set(r) == {"best", "median", "worst", "rounds", "iters"}
     assert r["worst"] <= r["median"] <= r["best"]
     assert bench._rate(iters=1, batch=4, rounds=1) > 0
+    # even round count: median must be the true median (mean of the two
+    # middle rates), not the upper-middle element (== best at rounds=2)
+    monkeypatch.setattr(bench.time, "perf_counter",
+                        _FakeClock(step_s=[1.0, 2.0]))
+    r2 = bench.measure(iters=1, batch=4, rounds=2)
+    assert r2["worst"] < r2["median"] < r2["best"]
+    assert abs(r2["median"] - (r2["best"] + r2["worst"]) / 2) < 1e-9
+
+
+class _FakeClock:
+    """perf_counter stub: k-th timed round takes step_s[k] seconds."""
+
+    def __init__(self, step_s):
+        self._step_s = list(step_s)
+        self._t = 0.0
+        self._starts = 0
+
+    def __call__(self):
+        # measure() calls perf_counter twice per round (start, end)
+        if self._starts % 2 == 1:
+            self._t += self._step_s.pop(0)
+        self._starts += 1
+        return self._t
+
+
+def test_bf16_study_rejects_class_count_mismatch(tmp_path, monkeypatch):
+    """The dataset on disk is ground truth: --num-classes disagreeing with
+    the class dirs in --data/train must abort before any training (round-4
+    review: --level easy generates 3 classes while the default
+    --num-classes is 6)."""
+    import bf16_study
+
+    data = tmp_path / "data"
+    for split in ("train", "validation"):
+        for cls in ("circle", "square", "triangle"):
+            (data / split / cls).mkdir(parents=True)
+    monkeypatch.setattr(sys, "argv", [
+        "bf16_study.py", "--out", str(tmp_path / "out"),
+        "--data", str(data), "--num-classes", "6"])
+    with pytest.raises(SystemExit, match="3 classes"):
+        bf16_study.main()
+
+
+def test_bf16_study_report_no_data_verdict(tmp_path, monkeypatch):
+    """Zero complete seed pairs must yield an explicit NO-DATA verdict,
+    not a NaN-laden FAIL (np.mean([]) -> nan, json.dump writes a
+    non-parseable NaN token)."""
+    import json
+
+    import bf16_study_report
+
+    study = {"config": {"seeds": 2}, "runs": {"seed0_float32": {}},
+             "compare": {}}
+    with open(tmp_path / "bf16_study.json", "w") as f:
+        json.dump(study, f)
+    monkeypatch.setattr(sys, "argv", [
+        "bf16_study_report.py", "--out", str(tmp_path)])
+    with pytest.raises(SystemExit):
+        bf16_study_report.main()
+    with open(tmp_path / "bf16_study_report.json") as f:
+        report = json.load(f)  # parseable: no bare NaN tokens
+    assert report["summary"]["acceptance"] == "NO-DATA"
+    assert report["n_seed_pairs"] == 0

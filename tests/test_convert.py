@@ -151,6 +151,28 @@ class TestDeiTConvert:
         np.testing.assert_allclose(
             merged["head"]["weight_quant"]["s"], sd["head.lsqw_fn.s"])
 
+    def test_quantized_image_bias_resamples_at_non_native_img_size(self):
+        """Regression: a quantized checkpoint whose patch-embed ImageBias was
+        stored at the checkpoint's own resolution must resample (bilinear)
+        when imported at a different img_size (reference hardcodes 224*224,
+        qlinear.py:163). Round-4 bug: this path raised NameError."""
+        rng = np.random.default_rng(7)
+        sd = fake_fp_deit_sd(CFG, rng)
+        stored = rng.normal(size=(CFG.img_size * CFG.img_size,))
+        sd["patch_embed.proj.move_b4.bias"] = stored
+        sd["patch_embed.proj.move_aft.bias"] = rng.normal(
+            size=(CFG.img_size * CFG.img_size,))
+        sd = {k: np.asarray(v, np.float32) for k, v in sd.items()}
+        new_size = CFG.img_size + 8  # 40: forces the resample branch
+        tree = convert_deit(sd, depth=CFG.depth, img_size=new_size)
+        b = tree["patch_embed"]["move_b4"]["bias"]
+        assert b.shape == (new_size, new_size)
+        assert np.isfinite(b).all()
+        # bilinear resample preserves the overall level of the bias field
+        assert abs(float(b.mean()) - float(stored.mean())) < 0.2
+        assert tree["patch_embed"]["move_aft"]["bias"].shape == (
+            new_size, new_size)
+
 
 def fake_fp_swin_sd(cfg, rng):
     """torchvision-shaped FP Swin state dict for the tiny 2-stage config."""

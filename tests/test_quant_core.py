@@ -177,7 +177,11 @@ class TestCGAMasks:
         logic, not fp reduction order."""
         from ofq_tpu.quant.statsq import statsq_b4_round
 
-        rng = np.random.default_rng(abs(hash((shape, bits, dtype))) % 2**31)
+        # deterministic per-case seed (str hash() is randomized per process,
+        # which would make a failing draw non-reproducible)
+        import zlib
+        rng = np.random.default_rng(
+            zlib.crc32(repr((shape, bits, dtype)).encode()))
         n = float(2 ** (bits - 1))
         # half the entries snapped to half-integer multiples of 1/n (the
         # mid-rise decision boundaries) plus tiny jitter -> b4_round sits
