@@ -278,3 +278,68 @@ def _roundtrip_deit(bits):
 class TestExportRoundtripRealGeometry:
     def test_deit_s_w2_export(self):
         _roundtrip_deit(2)
+
+
+def _roundtrip_swin(bits):
+    """Train-side Swin param tree -> torch_export -> the reference Swin-T
+    loads it (no missing/unexpected keys) -> fp64 logits match ours, at
+    the real [2,2,6,2]/96->768 geometry (closes the round-3 verdict item's
+    'torch re-export round-trip at the same geometry' clause for Swin)."""
+    from ofq_tpu.convert.torch_export import export_state_dict
+
+    torch.manual_seed(0)
+    m = rl.build_reference_swin(num_classes=CLASSES)
+    x_t = td._x(n=1)
+    qm = rl.quantize_reference(
+        m, model_type="swin", wq_bitw=bits, aq_bitw=bits,
+        qmodules=default_swin_qmodules(),
+        qk_reparam=True, qk_reparam_type=0)
+    rl.setup_alpha(qm, x_t)
+    td._perturb(qm)
+    sd = {k: v.detach().numpy() for k, v in qm.state_dict().items()}
+
+    pol = policy_from_args(
+        wq_bitw=bits, aq_bitw=bits, qmodules=default_swin_qmodules(),
+        qk_reparam=True, qk_reparam_type=0)
+    cfg = SwinConfig(num_classes=CLASSES, drop_path_rate=0.0)
+    model = OurSwin(cfg=cfg, policy=pol)
+    x_np = np.transpose(x_t.numpy(), (0, 2, 3, 1)).astype(np.float64)
+    with _x64(), jax.disable_jit():
+        x = jnp.asarray(x_np)
+        variables = model.init({"params": jax.random.key(0)}, x, train=False)
+        loaded = td._convert_strict(sd, variables["params"], convert_swin,
+                                    depths=(2, 2, 6, 2), img_size=224)
+        params = _overlay_f64(variables["params"], loaded)
+        params_j = jax.tree.map(lambda a: jnp.asarray(a, jnp.float64), params)
+        ours = np.asarray(model.apply(
+            {**variables, "params": params_j}, x, train=False)[0])
+        quant_stats = (jax.tree.map(np.asarray, variables["quant_stats"])
+                       if "quant_stats" in variables else None)
+
+    exported = export_state_dict(params, model_type="swin",
+                                 depths=(2, 2, 6, 2),
+                                 quant_stats=quant_stats)
+    torch.manual_seed(1)
+    m2 = rl.build_reference_swin(num_classes=CLASSES)
+    qm2 = rl.quantize_reference(
+        m2, model_type="swin", wq_bitw=bits, aq_bitw=bits,
+        qmodules=default_swin_qmodules(),
+        qk_reparam=True, qk_reparam_type=0)
+    rl.setup_alpha(qm2, x_t)  # materialize lazy LSQ scale shapes
+    result = qm2.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v))
+         for k, v in exported.items()}, strict=False)
+    # non-param geometry buffers (rel-pos index, shift masks) are rebuilt
+    # by the reference constructor, so only *_index/mask buffers may be
+    # absent from the export
+    missing = [k for k in result.missing_keys
+               if not k.endswith(("relative_position_index", "attn_mask"))]
+    assert not result.unexpected_keys, result.unexpected_keys[:8]
+    assert not missing, missing[:8]
+    theirs = _torch_logits_f64(qm2, x_t)
+    _assert_real_parity(ours, theirs)
+
+
+class TestSwinExportRoundtripRealGeometry:
+    def test_swin_t_w2_export(self):
+        _roundtrip_swin(2)
