@@ -636,6 +636,12 @@ def swin_model(variant: str, policy: QuantPolicy = QuantPolicy(),
     base = {
         "swin_t": SWIN_TINY,
         "swin_tiny_patch4_window7_224": SWIN_TINY,
+        # 2-stage toy for CLI smokes / CI (not a reference model); same
+        # geometry as tests/test_swin.py SMALL so every windowing path
+        # (2x2 windows -> merge -> single window) runs in the E2E loop
+        "swin_test": dataclasses.replace(
+            SWIN_TINY, img_size=32, embed_dim=12, depths=(1, 1),
+            num_heads=(2, 4), window_size=4, drop_path_rate=0.0),
     }[variant]
     cfg = dataclasses.replace(base, **overrides) if overrides else base
     return SwinTransformer(cfg=cfg, policy=policy)
