@@ -224,6 +224,37 @@ class TestDampeningFlag:
         args = parse_args(["synthetic", "--dampening-loss-weighting", "0.1"])
         assert args.dampening_loss_weighting == 0.1
 
+    def test_gradient_semantics(self):
+        """d/dw of weighting * sum((wq - clip(w))^2) with wq AND the clip
+        bounds detached: the only gradient path is the clipped passthrough,
+        so grad = -2*weighting*(wq - clip(w)) inside the clip range and 0
+        where w is clipped.  (The reference's DampeningLoss, utils.py:79-121,
+        is dead code — only ever instantiated with weighting=0, and its
+        'nu2u'/'lsq' attribute lookups crash on its own statsq QLinear — so
+        these are the reconstructed semantics, tested as our contract.)"""
+        from ofq_tpu.quant.statsq import (_CLIP_HI_EPS, statsq_quantize,
+                                          statsq_scale)
+        from ofq_tpu.train.losses import dampening_loss
+
+        rng = np.random.default_rng(7)
+        w = jnp.asarray(rng.normal(size=(8, 6)) * 2.0, jnp.float32)
+        params = {"blocks_0": {"attn": {"qkv": {"kernel": w}}}}
+        weighting = 0.3
+
+        grad = jax.grad(
+            lambda p: dampening_loss(p, bits=2, weighting=weighting)
+        )(params)["blocks_0"]["attn"]["qkv"]["kernel"]
+
+        s = statsq_scale(w)
+        w_clip = jnp.clip(w, -s, s * (1.0 - _CLIP_HI_EPS))
+        wq = statsq_quantize(w, 2)
+        inside = (w > -s) & (w < s * (1.0 - _CLIP_HI_EPS))
+        expected = jnp.where(inside, -2.0 * weighting * (wq - w_clip), 0.0)
+        np.testing.assert_allclose(np.asarray(grad), np.asarray(expected),
+                                   rtol=1e-6, atol=1e-6)
+        # the clip saturates for |w| >= s somewhere in this draw
+        assert bool(jnp.any(~inside))
+
 
 class TestBf16Masters:
     def test_step_preserves_dtypes_and_converges(self):
