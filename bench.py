@@ -160,6 +160,47 @@ def _rate(matmul_impl=None, compute_dtype=None, **kw) -> float:
     return measure(matmul_impl, compute_dtype, **kw)["best"]
 
 
+def serving_rate(batch=256, iters=8, int_core=True):
+    """Frozen-artifact serving rate (the deployment path): pack a DeiT-S
+    W2A2 QKR init into integer codes (ofq_tpu/deploy.py), restore as a
+    frozen predictor — int_core=True runs the quantized matmuls on the
+    MXU's int8 path — and time the jitted forward.  Random-init weights;
+    the rate does not depend on trained values."""
+    import dataclasses
+
+    from ofq_tpu.deploy import export_packed, restore_packed
+    from ofq_tpu.models import deit_model
+    from ofq_tpu.quant import default_deit_qmodules, policy_from_args
+
+    pol = policy_from_args(wq_bitw=2, aq_bitw=2,
+                           qmodules=default_deit_qmodules(12),
+                           qk_reparam=True, qk_reparam_type=0)
+    model = deit_model("deit_small_distilled_patch16_224", policy=pol)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(batch, 224, 224, 3)), jnp.float32)
+    params = jax.jit(lambda k, xx: model.init(
+        {"params": k}, xx, train=False))(jax.random.key(0), x[:8])
+    exported = export_packed(
+        jax.tree.map(np.asarray, params["params"]),
+        weight_bits=2, qk_reparam=True, num_heads=6)
+    fpol = dataclasses.replace(pol, weight_frozen=True,
+                               frozen_int_bits=(2 if int_core else None))
+    fmodel = deit_model("deit_small_distilled_patch16_224", policy=fpol,
+                        compute_dtype="bfloat16")
+    vars_ = {"params": jax.tree.map(
+        jnp.asarray, restore_packed(exported, int_core=int_core))}
+    f = jax.jit(lambda v, xx: fmodel.apply(v, xx, train=False)[0])
+    float(jnp.sum(f(vars_, x).astype(jnp.float32)))  # compile + barrier
+    best = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = f(vars_, x)
+        float(jnp.sum(r.astype(jnp.float32)))
+        best = max(best, batch * iters / (time.perf_counter() - t0))
+    return best
+
+
 def wait_for_backend(attempts=12, probe_timeout=90, sleep_s=60):
     """Fail loudly instead of hanging when the axon tunnel is down.
 
@@ -265,6 +306,13 @@ def main():
                       iters=3, rounds=1), 1)
         except Exception as e:  # pragma: no cover - smoke guard
             secondary[f"{impl}_imgs_per_sec"] = f"ERROR: {e}"
+    # deployment path: frozen packed-integer artifact served through the
+    # int8 MXU (the serving headline; PARITY.md §perf)
+    try:
+        secondary["frozen_int_core_infer_imgs_per_sec"] = round(
+            serving_rate(int_core=True), 1)
+    except Exception as e:  # pragma: no cover - smoke guard
+        secondary["frozen_int_core_infer_imgs_per_sec"] = f"ERROR: {e}"
     # vs_baseline's denominator is MODELED (320 img/s/A100) — derivation
     # committed in BASELINE.md §"A100 denominator"; MFU is the measured
     # headline
