@@ -92,6 +92,31 @@ class TestStatsQFuzz:
         q = s * ((np.round(clipped * n - 0.5) + 0.5) / n)
         np.testing.assert_allclose(y_t, q, rtol=1e-5, atol=1e-6)
 
+    @pytest.mark.parametrize("seed,bits,shape", [
+        (7, 2, (2, 3, 9, 6)), (8, 3, (1, 6, 49, 32)), (9, 4, (4, 2, 5, 7)),
+    ])
+    def test_4d_value_and_grad(self, seed, bits, shape):
+        """StatsQuantizer_4d (statsq.py:196-219): one scale per axis-2
+        slice of a (B, H, N, D) tensor — same layout both sides, so the
+        comparison is transpose-free; gradient is pure STE."""
+        from src.quantization.quantizer.statsq import StatsQuantizer_4d
+
+        from ofq_tpu.quant.statsq import statsq_quantize_4d
+
+        rng = np.random.default_rng(300 + seed)
+        w_np = (rng.normal(size=shape) * rng.uniform(0.2, 3)).astype(
+            np.float32)
+        cot = rng.normal(size=shape).astype(np.float32)
+        y_t, dx_t, _ = _torch_value_and_grads(
+            StatsQuantizer_4d(bits, clip_learnable=False), w_np, cot)
+
+        f = lambda w: statsq_quantize_4d(w, bits)
+        y_j, vjp = jax.vjp(f, jnp.asarray(w_np))
+        (dx_j,) = vjp(jnp.asarray(cot))
+        np.testing.assert_allclose(np.asarray(y_j), y_t, rtol=1e-6,
+                                   atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(dx_j), dx_t)
+
 
 class TestLsqFuzz:
     @pytest.mark.parametrize("seed,bits,all_positive,shape", [
