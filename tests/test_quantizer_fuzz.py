@@ -118,6 +118,80 @@ class TestStatsQFuzz:
         np.testing.assert_array_equal(np.asarray(dx_j), dx_t)
 
 
+class TestTrackOscillationFuzz:
+    @pytest.mark.parametrize("seed,momentum,threshold,use_ema", [
+        (0, 0.30, 0.0, True),    # tracking only (frozen stays None in torch)
+        (1, 0.30, 0.5, True),    # freezing via round(ema_x_int)
+        (2, 0.25, 0.6, False),   # freezing via the current x_int
+        (3, 0.40, 0.5, True),
+    ])
+    def test_step_by_step_vs_reference(self, seed, momentum, threshold,
+                                       use_ema):
+        """TrackOscillation (lsq.py:111-200): drive BOTH trackers through
+        the same random integer-domain sequence and compare the full
+        visible state every step — returned (possibly frozen) x_int,
+        ema_oscillation, total_oscillation, prev_switch_dir, and the
+        frozen mask/values once the threshold path is active.  The torch
+        module's first call is its lazy init (delta == 0 by
+        construction); ours takes the same tensor via
+        init_oscillation_state, so the sequences align exactly."""
+        import torch
+
+        from src.quantization.quantizer.lsq import TrackOscillation
+
+        from ofq_tpu.quant.oscillation import (
+            init_oscillation_state,
+            track_oscillation,
+        )
+
+        rng = np.random.default_rng(400 + seed)
+        shape = (16, 8)
+        steps = 40
+        # small integer levels with frequent +/-1 flips so oscillations
+        # actually cross the freeze threshold within 40 steps
+        seq = rng.integers(-2, 3, size=(steps + 1,) + shape).astype(
+            np.float32)
+
+        m = TrackOscillation(momentum=momentum, freeze_threshold=threshold,
+                             use_ema_x_int=use_ema)
+        y0 = m(torch.tensor(seq[0]))  # lazy init call: delta == 0
+        np.testing.assert_array_equal(y0.numpy(), seq[0])
+
+        st = init_oscillation_state(jnp.asarray(seq[0]))
+        step = jax.jit(lambda x, s: track_oscillation(
+            x, s, momentum=momentum, freeze_threshold=threshold,
+            use_ema_x_int=use_ema))
+
+        for t in range(1, steps + 1):
+            y_t = m(torch.tensor(seq[t]))
+            y_j, st = step(jnp.asarray(seq[t]), st)
+            np.testing.assert_allclose(np.asarray(y_j), y_t.numpy(),
+                                       rtol=0, atol=1e-6, err_msg=f"t={t}")
+            np.testing.assert_allclose(
+                np.asarray(st.ema_oscillation),
+                m.ema_oscillation.numpy(), rtol=1e-5, atol=1e-6,
+                err_msg=f"t={t}")
+            np.testing.assert_allclose(
+                np.asarray(st.total_oscillation),
+                m.total_oscillation.numpy(), rtol=0, atol=0,
+                err_msg=f"t={t}")
+            np.testing.assert_array_equal(
+                np.asarray(st.prev_switch_dir),
+                m.prev_switch_dir.numpy(), err_msg=f"t={t}")
+            if threshold > 0:
+                np.testing.assert_array_equal(
+                    np.asarray(st.frozen), m.frozen.numpy(),
+                    err_msg=f"t={t}")
+                np.testing.assert_allclose(
+                    np.asarray(st.frozen_x_int),
+                    m.frozen_x_int.numpy(), rtol=0, atol=1e-6,
+                    err_msg=f"t={t}")
+        if threshold > 0:
+            # the scenario must actually exercise freezing to be a test
+            assert bool(np.asarray(st.frozen).any()), \
+                "no weight froze — sequence too tame for the threshold"
+
+
 class TestLsqFuzz:
     @pytest.mark.parametrize("seed,bits,all_positive,shape", [
         (0, 2, False, (4, 9, 12)),    # (B, N, C) per-token
