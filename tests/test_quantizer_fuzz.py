@@ -118,6 +118,140 @@ class TestStatsQFuzz:
         np.testing.assert_array_equal(np.asarray(dx_j), dx_t)
 
 
+class TestEdgeLsqFuzz:
+    """The W8A8-edge quantizer variants (head weight / head input /
+    patch-embed image / conv weight).  Full-model differential parity
+    covers their forward values transitively; these compare the VJPs —
+    dx and the learned-scale gradient with each variant's idiosyncratic
+    grad factor — against the torch modules directly."""
+
+    @pytest.mark.parametrize("seed,bits,shape", [
+        (0, 8, (10, 24)), (1, 4, (7, 33)), (2, 2, (128, 5)),
+    ])
+    def test_weight_per_row(self, seed, bits, shape):
+        """LsqQuantizerWeight (lsq.py:20-109): torch (out, in) with one
+        scale per row, grad factor 1/sqrt(thd_pos * in) — our (in, out)
+        transpose with channel_axis=-1."""
+        from src.quantization.quantizer.lsq import LsqQuantizerWeight
+
+        from ofq_tpu.quant.lsq import lsq_quantize
+
+        rng = np.random.default_rng(500 + seed)
+        w_t = (rng.normal(size=shape) * rng.uniform(0.2, 2)).astype(
+            np.float32)
+        cot = rng.normal(size=shape).astype(np.float32)
+        m = LsqQuantizerWeight(bits, per_channel=True, learnable=True)
+        y_t, dx_t, ds_t = _torch_value_and_grads(m, w_t, cot)
+        s0 = m.s.detach().numpy().copy()
+
+        f = lambda w, s: lsq_quantize(w, s, bits, channel_axis=-1)
+        y_j, vjp = jax.vjp(f, jnp.asarray(w_t.T), jnp.asarray(s0))
+        dx_j, ds_j = vjp(jnp.asarray(cot.T))
+        np.testing.assert_allclose(np.asarray(y_j).T, y_t, rtol=1e-5,
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(dx_j).T, dx_t, rtol=1e-5,
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ds_j), ds_t, rtol=1e-4,
+                                   atol=1e-6)
+
+    @pytest.mark.parametrize("seed,bits,shape", [
+        (0, 8, (4, 37)), (1, 4, (2, 9, 11)),
+    ])
+    def test_head_input_per_tensor(self, seed, bits, shape):
+        """LsqQuantizer4head_input (lsq.py:448-513): one scalar scale,
+        grad factor 1/sqrt(thd_pos * numel) — channel_axis=None."""
+        from src.quantization.quantizer.lsq import LsqQuantizer4head_input
+
+        from ofq_tpu.quant.lsq import lsq_quantize
+
+        rng = np.random.default_rng(600 + seed)
+        x_np = (rng.normal(size=shape) * rng.uniform(0.3, 2)).astype(
+            np.float32)
+        cot = rng.normal(size=shape).astype(np.float32)
+        m = LsqQuantizer4head_input(bits, learnable=True)
+        y_t, dx_t, ds_t = _torch_value_and_grads(m, x_np, cot)
+        s0 = m.s.detach().numpy().copy()
+
+        f = lambda x, s: lsq_quantize(x, s, bits, channel_axis=None)
+        y_j, vjp = jax.vjp(f, jnp.asarray(x_np), jnp.asarray(s0))
+        dx_j, ds_j = vjp(jnp.asarray(cot))
+        np.testing.assert_allclose(np.asarray(y_j), y_t, rtol=1e-5,
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(dx_j), dx_t, rtol=1e-5,
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ds_j), ds_t, rtol=1e-4,
+                                   atol=1e-6)
+
+    @pytest.mark.parametrize("seed,bits,signed,shape", [
+        (0, 8, True, (2, 3, 8, 8)),    # NCHW in torch
+        (1, 8, False, (3, 3, 6, 10)),  # all-positive -> unsigned range
+        (2, 4, True, (2, 5, 7, 7)),
+    ])
+    def test_img_per_channel_dynamic_signed(self, seed, bits, signed,
+                                            shape):
+        """LsqQuantizer4img (lsq.py:306-382): per-channel scale on NCHW
+        dim 1, grad factor 1/sqrt(thd_pos * B*H*W), signed/unsigned range
+        picked by the data — our NHWC layout with the traced signedness
+        flag."""
+        from src.quantization.quantizer.lsq import LsqQuantizer4img
+
+        from ofq_tpu.quant.lsq import lsq_quantize_dynamic_signed
+
+        rng = np.random.default_rng(700 + seed)
+        x_t = (rng.normal(size=shape) * rng.uniform(0.3, 2)).astype(
+            np.float32)
+        if not signed:
+            x_t = np.abs(x_t)
+        cot = rng.normal(size=shape).astype(np.float32)
+        m = LsqQuantizer4img(bits, learnable=True)
+        y_t, dx_t, ds_t = _torch_value_and_grads(m, x_t, cot)
+        assert bool(m.signed.item() != 0) == signed  # autodetect fired
+        s0 = m.s.detach().numpy().copy()
+
+        to_nhwc = lambda a: a.transpose(0, 2, 3, 1)
+        f = lambda x, s: lsq_quantize_dynamic_signed(
+            x, s, bits, jnp.asarray(signed), channel_axis=-1)
+        y_j, vjp = jax.vjp(f, jnp.asarray(to_nhwc(x_t)), jnp.asarray(s0))
+        dx_j, ds_j = vjp(jnp.asarray(to_nhwc(cot)))
+        np.testing.assert_allclose(np.asarray(y_j), to_nhwc(y_t),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(dx_j), to_nhwc(dx_t),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ds_j), ds_t, rtol=1e-4,
+                                   atol=1e-6)
+
+    @pytest.mark.parametrize("seed,bits,shape", [
+        (0, 8, (12, 3, 4, 4)),   # (O, I, kh, kw) in torch
+        (1, 4, (5, 7, 3, 3)),
+    ])
+    def test_conv_weight_per_out_channel(self, seed, bits, shape):
+        """LsqQuantizer4Conv2d (lsq.py:384-446): one scale per output
+        channel (OIHW dim 0), grad factor 1/sqrt(thd_pos * I*kh*kw) —
+        our HWIO layout with channel_axis=-1."""
+        from src.quantization.quantizer.lsq import LsqQuantizer4Conv2d
+
+        from ofq_tpu.quant.lsq import lsq_quantize
+
+        rng = np.random.default_rng(800 + seed)
+        w_t = (rng.normal(size=shape) * rng.uniform(0.2, 2)).astype(
+            np.float32)
+        cot = rng.normal(size=shape).astype(np.float32)
+        m = LsqQuantizer4Conv2d(bits, learnable=True)
+        y_t, dx_t, ds_t = _torch_value_and_grads(m, w_t, cot)
+        s0 = m.s.detach().numpy().copy()
+
+        to_hwio = lambda a: a.transpose(2, 3, 1, 0)
+        f = lambda w, s: lsq_quantize(w, s, bits, channel_axis=-1)
+        y_j, vjp = jax.vjp(f, jnp.asarray(to_hwio(w_t)), jnp.asarray(s0))
+        dx_j, ds_j = vjp(jnp.asarray(to_hwio(cot)))
+        np.testing.assert_allclose(np.asarray(y_j), to_hwio(y_t),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(dx_j), to_hwio(dx_t),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ds_j), ds_t, rtol=1e-4,
+                                   atol=1e-6)
+
+
 class TestTrackOscillationFuzz:
     @pytest.mark.parametrize("seed,momentum,threshold,use_ema", [
         (0, 0.30, 0.0, True),    # tracking only (frozen stays None in torch)
