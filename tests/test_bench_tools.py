@@ -157,3 +157,35 @@ def test_bf16_study_report_no_data_verdict(tmp_path, monkeypatch):
         report = json.load(f)  # parseable: no bare NaN tokens
     assert report["summary"]["acceptance"] == "NO-DATA"
     assert report["n_seed_pairs"] == 0
+
+
+def test_serving_latency_paths_agree():
+    """benchmarks/serving_latency.py must measure the REAL serving paths:
+    all three (qat_eval / frozen_fp / int_core) build from one param set
+    through the actual export_packed->restore_packed machinery and
+    predict the same classes — otherwise a rate labeled 'int_core' could
+    silently time a broken or fp path."""
+    import numpy as np
+
+    import serving_latency
+
+    preds = serving_latency.make_predictors(
+        None, ["qat_eval", "frozen_fp", "int_core"],
+        variant="deit_test_distilled")
+    assert set(preds) == {"qat_eval", "frozen_fp", "int_core"}
+    import jax.numpy as jnp
+
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(2, 32, 32, 3)),
+                    jnp.float32)
+    outs = {}
+    for name, (model, params) in preds.items():
+        logits, _ = model.apply(params, x, train=False)
+        outs[name] = np.asarray(logits)
+    np.testing.assert_allclose(outs["qat_eval"], outs["frozen_fp"],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(outs["frozen_fp"], outs["int_core"],
+                               rtol=2e-4, atol=2e-4)
+
+    r = serving_latency.time_path(*preds["int_core"], batch=2, iters=1)
+    assert r["imgs_per_sec"] > 0 and r["latency_ms"] > 0
+    assert r["rate_spread"][0] <= r["imgs_per_sec"] <= r["rate_spread"][1]
