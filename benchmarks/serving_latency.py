@@ -51,7 +51,9 @@ def build_model_and_params(dtype: str | None, variant: str = FLAGSHIP):
     from ofq_tpu.models import deit_model
     from ofq_tpu.quant import default_deit_qmodules, policy_from_args
 
-    depth = 2 if "test" in variant else 12  # all reference DeiTs: 12 blocks
+    # derive depth from the registered config, not a hardcoded 12, so a
+    # future variant with another depth gets the right qmodules list
+    depth = deit_model(variant).cfg.depth
     pol = policy_from_args(
         wq_bitw=2, aq_bitw=2, qmodules=default_deit_qmodules(depth),
         qk_reparam=True, qk_reparam_type=0)
@@ -100,7 +102,11 @@ def make_predictors(dtype: str | None, paths: list[str],
 
 
 def time_path(model, params, batch: int, iters: int):
-    """Median-of-ROUNDS steady-state rate + per-image latency."""
+    """Median-of-ROUNDS steady-state rate + per-image latency.
+
+    Also reports request-latency percentiles (p50/p99) from individually
+    blocked calls — the number a serving SLO is written against, distinct
+    from the pipelined steady-state rate above (which overlaps dispatch)."""
     fn = jax.jit(lambda p, x: jax.nn.softmax(
         model.apply(p, x, train=False)[0], axis=-1))
     s = model.cfg.img_size
@@ -117,13 +123,22 @@ def time_path(model, params, batch: int, iters: int):
         dt = (time.perf_counter() - t0) / iters
         rates.append(batch / dt)
     med = statistics.median(rates)
+    lat = []
+    for _ in range(max(iters * ROUNDS, 50)):
+        t0 = time.perf_counter()
+        fn(params, x).block_until_ready()
+        lat.append(1e3 * (time.perf_counter() - t0))
+    lat.sort()
     return {"imgs_per_sec": round(med, 1),
             "latency_ms": round(1e3 * batch / med, 3),
+            "latency_p50_ms": round(lat[len(lat) // 2], 3),
+            "latency_p99_ms": round(lat[min(len(lat) - 1,
+                                            int(len(lat) * 0.99))], 3),
             "rate_spread": [round(min(rates), 1), round(max(rates), 1)]}
 
 
 def main(argv=None):
-    ap = argparse.ArgumentParser(__doc__.splitlines()[0])
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--batches", default="1,8,32,64,128,256")
     ap.add_argument("--paths", default="qat_eval,frozen_fp,int_core")
     ap.add_argument("--variant", default=FLAGSHIP)
@@ -147,7 +162,9 @@ def main(argv=None):
             results["paths"][name][str(b)] = r
             print(json.dumps({"path": name, "batch": b, **r}), flush=True)
     if a.json_out:
-        os.makedirs(os.path.dirname(a.json_out), exist_ok=True)
+        d = os.path.dirname(a.json_out)
+        if d:
+            os.makedirs(d, exist_ok=True)
         with open(a.json_out, "w") as f:
             json.dump(results, f, indent=1)
         print(f"wrote {a.json_out}")

@@ -47,7 +47,13 @@ def make_train_step(
     master_bf16 = master_dtype == "bfloat16"
 
     def _f32(tree):
-        return jax.tree.map(lambda p: p.astype(jnp.float32), tree)
+        # promote-only: bf16 masters upcast to fp32 for the update math;
+        # fp32 is untouched; fp64 (the x64 trajectory-differential tests)
+        # must NOT be narrowed to fp32 or the 10-step torch comparison
+        # would accumulate fp32 rounding noise per step
+        return jax.tree.map(
+            lambda p: p.astype(jnp.promote_types(p.dtype, jnp.float32)),
+            tree)
 
     def loss_fn(params, model_state, batch, rng, teacher_params):
         rngs = {"dropout": rng, "droppath": jax.random.fold_in(rng, 1)}
@@ -129,8 +135,9 @@ def make_train_step(
         import optax
 
         new_params = jax.tree.map(
-            lambda p, u: (p.astype(jnp.float32)
-                          + u.astype(jnp.float32)).astype(p.dtype),
+            lambda p, u: (p.astype(jnp.promote_types(p.dtype, jnp.float32))
+                          + u.astype(jnp.promote_types(u.dtype, jnp.float32))
+                          ).astype(p.dtype),
             state.params["params"], updates)
         if masks is not None:
             new_params = cga_lib.restore_frozen(

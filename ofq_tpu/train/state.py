@@ -22,10 +22,12 @@ class TrainState:
     def create(cls, params, tx, ema: bool = False, extra: Any = None):
         import jax.numpy as jnp
 
-        # Adam moments always live in fp32, even under bf16 master weights
-        # (the update math runs in fp32; see train/loop.py)
+        # Adam moments live in >=fp32, even under bf16 master weights (the
+        # update math runs in fp32; see train/loop.py).  Promote-only so
+        # the x64 trajectory-differential tests keep fp64 moments.
         f32_view = jax.tree.map(
-            lambda x: x.astype(jnp.float32), params["params"])
+            lambda x: x.astype(jnp.promote_types(x.dtype, jnp.float32)),
+            params["params"])
         return cls(
             params=params,
             opt_state=tx.init(f32_view),
