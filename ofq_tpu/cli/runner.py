@@ -104,6 +104,51 @@ def build_model(args, policy, *, teacher: bool = False):
     return create_model(name, policy=pol, **over)
 
 
+def _prune_unloaded_scales(dest, loaded):
+    """Drop every LSQ scale leaf ('s') of `dest` that `loaded` did not
+    provide (path absent or shape mismatch — the same criterion
+    merge_pretrained uses to copy), so a lazy apply re-creates it from
+    live activations.  Returns (pruned_tree, n_pruned)."""
+    pruned = {}
+    n = 0
+    for k, v in dest.items():
+        lv = loaded.get(k) if isinstance(loaded, dict) else None
+        if isinstance(v, dict):
+            sub, m = _prune_unloaded_scales(
+                v, lv if isinstance(lv, dict) else {})
+            if sub:
+                pruned[k] = sub
+            n += m
+        elif k == "s" and (
+                lv is None or tuple(np.shape(lv)) != tuple(np.shape(v))):
+            n += 1
+        else:
+            pruned[k] = v
+    return pruned, n
+
+
+def recalibrate_missing_scales(model, variables, loaded, image,
+                               *, seed: int = 0, use_jit: bool = True):
+    """Lazy flax re-init of every LSQ scale `loaded` did not provide,
+    computed with the loaded weights in place (the reference's
+    load-then-setup_alpha ordering).  Returns (new_variables, n_redone).
+    Shared by Runner.recalibrate_scales and the model-level calibration
+    differential (tests/test_calibration_differential.py), which runs it
+    eagerly in fp64 against the genuine reference's setup_alpha."""
+    pruned, n = _prune_unloaded_scales(variables["params"], loaded)
+    if n == 0:
+        return variables, 0
+
+    def lazy(v, xx, key):
+        return model.apply(v, xx, train=False, mutable=["params"],
+                           rngs={"params": key})[1]["params"]
+
+    fn = jax.jit(lazy) if use_jit else lazy
+    new_params = fn({**variables, "params": pruned}, image,
+                    jax.random.key(seed))
+    return {**variables, "params": new_params}, n
+
+
 class Runner:
     def __init__(self, args, *, cga_mode: bool = False):
         self.args = args
@@ -150,6 +195,33 @@ class Runner:
             lambda key, xx: self.model.init({"params": key}, xx, train=False))
         return init(jax.random.key(self.args.seed), x)
 
+    def recalibrate_scales(self, variables, loaded, batch):
+        """Re-initialize every LSQ scale the checkpoint did NOT provide,
+        from activations computed WITH the loaded weights.
+
+        The reference loads weights BEFORE calibrating (train.py:515-516
+        `load_checkpoint` precedes the `setup_alpha` forward at :657/997),
+        so every lazily materialized scale sees pretrained-weight
+        statistics.  `calibrate_init` necessarily runs before the overlay
+        (flax init builds the tree), so its scale inits saw random-init
+        activations; this pass redoes exactly the missing ones via a lazy
+        flax apply — mutable=['params'] re-creates each pruned scale in
+        forward order, every downstream init seeing upstream's
+        just-initialized quantizers, the torch lazy-materialization
+        semantics.  Scales the checkpoint DOES carry (quantized warm
+        starts, resumes) are kept verbatim, matching the reference's
+        resume-after-setup_alpha overwrite.  Model-level differential vs
+        the genuine reference: tests/test_calibration_differential.py."""
+        out, n = recalibrate_missing_scales(
+            self.model, variables, loaded, jnp.asarray(batch["image"]),
+            seed=self.args.seed)
+        if n:
+            _logger.info(
+                "recalibrated %d LSQ scales from the loaded weights "
+                "(setup_alpha ordering, reference train.py:515-516 -> :997)",
+                n)
+        return out
+
     def abstract_state(self, variables, args=None):
         """Abstract TrainState matching what fit() saves — same optimizer
         chain (incl. grad clipping), EMA and oscillation structure — so
@@ -174,7 +246,8 @@ class Runner:
                                         extra=extra), variables)
 
     def restore_experiment_params(self, exp_dir: str, variables,
-                                  *, use_ema: bool | None = False):
+                                  *, use_ema: bool | None = False,
+                                  return_loaded: bool = False):
         """Load the best checkpoint's variables from an experiment dir.
 
         The checkpoint is restored into the structure of the model THAT
@@ -248,9 +321,12 @@ class Runner:
             mc = merge_pretrained(variables[coll],
                                   jax.tree.map(np.asarray, tree))
             out[coll] = jax.tree.map(jnp.asarray, mc)
-        return out
+        return (out, loaded) if return_loaded else out
 
-    def load_pretrained(self, params):
+    def load_pretrained(self, params, calib_batch=None):
+        """Overlay an initial checkpoint; with `calib_batch`, re-calibrate
+        every LSQ scale the checkpoint didn't provide (setup_alpha
+        ordering — see recalibrate_scales)."""
         args = self.args
         path = args.initial_checkpoint
         if not path:
@@ -269,7 +345,11 @@ class Runner:
         _logger.info("loading initial checkpoint %s", path)
         if os.path.isdir(path):
             # an ofq_tpu experiment directory (e.g. CGA --resume phase-1)
-            return self.restore_experiment_params(path, params)
+            out, loaded = self.restore_experiment_params(
+                path, params, return_loaded=True)
+            if calib_batch is not None:
+                out = self.recalibrate_scales(out, loaded, calib_batch)
+            return out
         if path.endswith((".pth", ".pth.tar", ".pt", ".bin")):
             sd = load_torch_state_dict(path)
             if args.model_type == "swin":
@@ -289,7 +369,10 @@ class Runner:
             with open(path, "rb") as f:
                 loaded = pickle.load(f)
         new = merge_pretrained(params["params"], loaded)
-        return {**params, "params": jax.tree.map(jnp.asarray, new)}
+        out = {**params, "params": jax.tree.map(jnp.asarray, new)}
+        if calib_batch is not None:
+            out = self.recalibrate_scales(out, loaded, calib_batch)
+        return out
 
     def build_optimizer(self, steps_per_epoch: int):
         args = self.args
@@ -408,7 +491,7 @@ class Runner:
             eval_transform=True)
         first = next(iter(make_dataset(calib_cfg, train=True)))
         params = self.calibrate_init(first)
-        params = self.load_pretrained(params)
+        params = self.load_pretrained(params, calib_batch=first)
         tx, lr_epoch = self.build_optimizer(steps_per_epoch)
 
         tparams = None
@@ -748,11 +831,12 @@ class Runner:
             # use_ema=None (auto): an experiment trained with --model-ema
             # is scored/retained by its EMA metric — evaluate those
             # weights, like reference eval.py's use_ema=True load
-            params = self.restore_experiment_params(args.resume, params,
-                                                    use_ema=None)
+            params, loaded = self.restore_experiment_params(
+                args.resume, params, use_ema=None, return_loaded=True)
+            params = self.recalibrate_scales(params, loaded, first)
         elif args.resume:
             args.initial_checkpoint = args.resume
-            params = self.load_pretrained(params)
+            params = self.load_pretrained(params, calib_batch=first)
         with jax.set_mesh(self.mesh):
             eval_step = jax.jit(make_eval_step(self.model))
             # full variables dict so BN batch_stats (if any) reach eval

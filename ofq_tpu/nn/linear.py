@@ -114,8 +114,9 @@ class _ScaleParam(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         from ..quant.lsq import init_scale
+        from ..quant.ste import at_least_f32
 
-        x32 = x.astype(jnp.float32)
+        x32 = x.astype(at_least_f32(x.dtype))
         return self.param(
             "s", lambda rng: init_scale(x32, self.bit, self.all_positive,
                                         self.axis))

@@ -45,11 +45,12 @@ class LsqAct(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         if self.bit >= 32:
             return x
-        # scale init from fp32 first-batch statistics; the quantizer math
-        # itself runs in x's dtype (bf16 under the compute-dtype stream)
+        # scale init from >=fp32 first-batch statistics (promote-only: a
+        # bf16 stream calibrates in fp32, the fp64 differential tests stay
+        # fp64); the quantizer math itself runs in x's dtype
         s = self.param(
             "s",
-            lambda rng: init_scale(x.astype(jnp.float32), self.bit,
+            lambda rng: init_scale(x.astype(at_least_f32(x.dtype)), self.bit,
                                    self.all_positive, self.channel_axis),
         )
         if not self.learnable:
