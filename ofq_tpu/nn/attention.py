@@ -368,6 +368,7 @@ class QAttention(nn.Module):
         )
         if self.lsq_weights:
             lin_kwargs.update(wq_all_positive=self.wq_all_positive,
+                              wq_learnable=self.wq_learnable,
                               frozen_int_bits=self.frozen_int_bits)
         else:
             lin_kwargs.update(

@@ -155,6 +155,36 @@ def install() -> None:
     timm_models.layers = timm_layers
     timm_models.registry = timm_registry
 
+    # ----- extra timm/CLI surface so `import cga` / `import train` work
+    # (their module level does `from timm.X import names...`); none of
+    # these stubs is ever CALLED by the differential tests — they import
+    # the reference CLIs only for freeze_outside_boundary_weight_idx and
+    # friends.
+    for name in ("create_dataset", "create_loader", "resolve_data_config",
+                 "Mixup", "FastCollateMixup", "AugMixDataset"):
+        setattr(timm_data, name, _unused)
+    for name in ("create_model", "safe_model_name", "resume_checkpoint",
+                 "load_checkpoint", "convert_splitbn_model",
+                 "model_parameters"):
+        setattr(timm_models, name, _unused)
+    timm_loss.LabelSmoothingCrossEntropy = _unused
+    timm_loss.JsdCrossEntropy = _unused
+    timm_optim = _module("timm.optim")
+    timm_optim.create_optimizer_v2 = _unused
+    timm_optim.optimizer_kwargs = _unused
+    timm.optim = timm_optim
+    timm_sched = _module("timm.scheduler")
+    timm_sched.create_scheduler = _unused
+    timm_sched_sched = _module("timm.scheduler.scheduler")
+    timm_sched_sched.Scheduler = type("Scheduler", (), {})
+    timm_sched.scheduler = timm_sched_sched
+    timm.scheduler = timm_sched
+    timm_utils = _module("timm.utils")
+    timm_utils.ApexScaler = _unused
+    timm_utils.NativeScaler = _unused
+    timm_utils.setup_default_logging = lambda *a, **k: None
+    timm.utils = timm_utils
+
     # ------------------------------------------------------- torchvision
     class MLP(nn.Sequential):
         """torchvision.ops.misc.MLP: [Linear, act, Dropout]* + Linear +
@@ -323,6 +353,17 @@ def quantize_reference(model, *, model_type="deit", wq_bitw=2, aq_bitw=2,
                else replace_module_by_qmodule_deit)
     return replace(model, qconfigs, pretrained_initialized=True,
                    qk_reparam=qk_reparam, qk_reparam_type=qk_reparam_type)
+
+
+def reference_cga():
+    """Import the reference's cga.py as a module (its module level only
+    builds argparse parsers).  Gives tests the GENUINE
+    freeze_outside_boundary_weight_idx (cga.py:450-469) for trajectory
+    differentials instead of a transcription."""
+    install()
+    import cga
+
+    return cga
 
 
 def setup_alpha(model, x):
