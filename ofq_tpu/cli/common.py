@@ -102,6 +102,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--boundaryRange", dest="boundary_range", type=float,
                    default=0.005)
     p.add_argument("--freeze_for_n_epochs", type=int, default=30)
+    p.add_argument("--cga_no_freeze", action="store_true", default=False,
+                   help="CGA-CLI control arm: keep the pinned-LR "
+                        "freeze_for_n_epochs finetune window but disable "
+                        "the freeze/restore transform entirely — the "
+                        "equal-budget baseline that isolates the benefit "
+                        "of confidence-guided annealing (reference "
+                        "cga.py:450-469) from 'more epochs'. Incompatible "
+                        "with --qk_reparam_type 1 (whose quantizer "
+                        "freezes in-forward).")
     p.add_argument("--replace-ln-by-bn", dest="replace_ln_by_bn",
                    action="store_true", default=False)
 

@@ -59,8 +59,11 @@ def build_model(args, policy, *, teacher: bool = False):
         over["drop_path_rate"] = args.drop_path
     if args.img_size != 224:
         over["img_size"] = args.img_size
-    if args.replace_ln_by_bn and not teacher and mtype == "deit":
-        # reference --replace-ln-by-bn (train.py:521-522): student only
+    if args.replace_ln_by_bn and not teacher:
+        # reference --replace-ln-by-bn (train.py:521-522): student only.
+        # Supported for both families; for Swin this is the flag's evident
+        # intent implemented natively — the reference itself crashes on
+        # Swin's 4-D maps (see SwinConfig.norm_layer).
         over["norm_layer"] = "batchnorm"
     if not teacher:
         # TPU speed-path flags apply to both DeiT and Swin students
@@ -556,7 +559,15 @@ class Runner:
                 p, tx, ema=args.model_ema, extra=extra))(params)
 
             cga_cfg = None
-            if self.cga_mode:
+            if self.cga_mode and getattr(args, "cga_no_freeze", False):
+                # equal-budget A/B control: pinned-LR window, no freezing.
+                # qk_reparam_type 1 would still freeze in-forward via
+                # StatsQuantizer_specific_4_qkreparam_cga — reject loudly.
+                if args.qk_reparam_type == 1:
+                    raise ValueError(
+                        "--cga_no_freeze requires --qk_reparam_type 0: "
+                        "type 1's quantizer freezes in-forward")
+            elif self.cga_mode:
                 cga_cfg = dict(bits=args.wq_bitw,
                                boundary_range=args.boundary_range,
                                qk_reparam=args.qk_reparam,

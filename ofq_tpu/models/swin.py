@@ -60,6 +60,17 @@ class SwinConfig:
     drop_path_rate: float = 0.2
     qqkkvv: bool = False
     ln_eps: float = 1e-5
+    # 'batchnorm' swaps every LayerNorm for feature-axis BatchNorm with
+    # (batch, H, W) statistics — the Swin analog of the reference's
+    # --replace-ln-by-bn (train.py:521-522, src/utils/utils.py
+    # replace_ln_by_bn1d).  NB the reference itself CRASHES on Swin: its
+    # BatchNorm1d-with-transpose turns (B, H, W, C) into (B, H, C, W) and
+    # F.batch_norm reads dim 1 (=H) as channels ("running_mean should
+    # contain 56 elements not 96") — so this is the flag's evident intent
+    # implemented natively, not a behavior the reference ever delivered.
+    # Running stats live in 'batch_stats'; under SPMD the batch reduction
+    # is global (GSPMD subsumes sync-bn/distribute_bn, train.py:556-566).
+    norm_layer: str = "layernorm"
     matmul_impl: Optional[str] = None
     compute_dtype: Optional[str] = None
     # jax.checkpoint the blocks of these stages (0-indexed).  Measured on
@@ -443,9 +454,10 @@ class PatchMerging(nn.Module):
     ln_eps: float = 1e-5
     compute_dtype: str | None = None
     matmul_impl: str | None = None
+    norm_layer: str = "layernorm"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, deterministic: bool = True):
         B, H, W, C = x.shape
         x = jnp.pad(x, ((0, 0), (0, H % 2), (0, W % 2), (0, 0)))
         x0 = x[:, 0::2, 0::2]
@@ -453,7 +465,8 @@ class PatchMerging(nn.Module):
         x2 = x[:, 0::2, 1::2]
         x3 = x[:, 1::2, 1::2]
         x = jnp.concatenate([x0, x1, x2, x3], axis=-1)  # (B, H/2, W/2, 4C)
-        x = _norm(self.ln_eps, "norm", self.compute_dtype)(x)
+        x = _norm(self.ln_eps, "norm", self.compute_dtype,
+                  self.norm_layer, deterministic)(x)
         if self.policy.quantizes(self.qpath):
             pol = self.policy
             # The reference feeds the 4-D (B, H/2, W/2, 4C) map straight
@@ -478,13 +491,15 @@ class PatchMerging(nn.Module):
 
 
 
-def _norm(eps: float, name: str, compute_dtype):
-    """Swin's LayerNorms via the ONE norm constructor (deit.make_norm),
-    so the bf16 dtype-pinning policy can never diverge between families
-    (Swin has no LN->BN recipe, hence 'layernorm' fixed)."""
+def _norm(eps: float, name: str, compute_dtype,
+          norm_layer: str = "layernorm", deterministic: bool = True):
+    """Swin's norms via the ONE norm constructor (deit.make_norm), so the
+    bf16 dtype-pinning policy can never diverge between families.
+    norm_layer='batchnorm' is the --replace-ln-by-bn swap (see
+    SwinConfig.norm_layer for the reference-crash caveat)."""
     from .deit import make_norm
 
-    return make_norm("layernorm", eps, name, True, compute_dtype)
+    return make_norm(norm_layer, eps, name, deterministic, compute_dtype)
 
 class SwinBlock(nn.Module):
     cfg: SwinConfig
@@ -499,7 +514,8 @@ class SwinBlock(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         cfg, pol = self.cfg, self.policy
-        h = _norm(cfg.ln_eps, "norm1", cfg.compute_dtype)(x)
+        h = _norm(cfg.ln_eps, "norm1", cfg.compute_dtype,
+                  cfg.norm_layer, deterministic)(x)
         common = dict(dim=self.dim, num_heads=self.num_heads,
                       window_size=cfg.window_size, shift_size=self.shift,
                       attn_drop=cfg.attn_drop_rate, proj_drop=cfg.drop_rate)
@@ -533,7 +549,8 @@ class SwinBlock(nn.Module):
                                   self.make_rng("droppath"))
         x = x + attn_out
 
-        h = _norm(cfg.ln_eps, "norm2", cfg.compute_dtype)(x)
+        h = _norm(cfg.ln_eps, "norm2", cfg.compute_dtype,
+                  cfg.norm_layer, deterministic)(x)
         hidden = int(self.dim * cfg.mlp_ratio)
         # 4-D maps go straight into the (quantized) MLP: the reference's
         # LSQ scale is per width column on (B, H, W, C) inputs
@@ -579,7 +596,10 @@ class SwinTransformer(nn.Module):
         else:
             x = nn.Conv(cfg.embed_dim, kernel_size=(P, P), strides=(P, P),
                         padding="VALID", name="patch_embed")(x)
-        x = nn.LayerNorm(epsilon=cfg.ln_eps, name="patch_norm")(x)
+        from .deit import make_norm
+
+        x = make_norm(cfg.norm_layer, cfg.ln_eps, "patch_norm",
+                      deterministic, None)(x)
         if cfg.compute_dtype is not None:
             x = x.astype(jnp.dtype(cfg.compute_dtype))
 
@@ -611,11 +631,13 @@ class SwinTransformer(nn.Module):
                     qpath=f"features.{feat_idx}.reduction",
                     ln_eps=cfg.ln_eps, compute_dtype=cfg.compute_dtype,
                     matmul_impl=cfg.matmul_impl,
-                    name=f"features_{feat_idx}")(x)
+                    norm_layer=cfg.norm_layer,
+                    name=f"features_{feat_idx}")(x, deterministic)
                 feat_idx += 1
                 dim *= 2
 
-        x = _norm(cfg.ln_eps, "norm", cfg.compute_dtype)(x)
+        x = _norm(cfg.ln_eps, "norm", cfg.compute_dtype,
+                  cfg.norm_layer, deterministic)(x)
         x = jnp.mean(x, axis=(1, 2)).astype(
             at_least_f32(x.dtype))  # global average pool, head >=fp32
         if pol.quantizes("head"):
