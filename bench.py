@@ -57,6 +57,9 @@ import numpy as np
 
 A100_ESTIMATE_IMGS_PER_SEC = 320.0  # modeled; full derivation (inputs,
 # assumptions, arithmetic) in BASELINE.md §"A100 denominator"
+# per-family modeled A100 denominators — same method, each family's own
+# committed FLOP enumeration (BASELINE.md §"Per-family A100 denominators")
+A100_FAMILY_IMGS_PER_SEC = {"swin_t": 279.0, "deit_b": 65.6}
 MEASURED_PEAK_TFLOPS = 234.0  # benchmarks/int_dot_rates.py: int8 MXU peak at
 # 4096^3 (bf16 measures 150.7) — conservative denominator for the int8-core step
 BATCH = 144  # measured single-chip knee for the int8 headline.  The
@@ -296,6 +299,8 @@ def main():
                 (r["best"] * fam_gflops[key] / 1e3) / MEASURED_PEAK_TFLOPS,
                 4)
             secondary[f"{key}_gflops_per_img"] = round(fam_gflops[key], 2)
+            secondary[f"{key}_vs_baseline"] = round(
+                r["best"] / A100_FAMILY_IMGS_PER_SEC[key], 2)
         except Exception as e:  # pragma: no cover - smoke guard
             secondary[f"{key}_imgs_per_sec"] = f"ERROR: {e}"
     # opt-in Pallas kernel smokes on the real chip (finite-loss check)
@@ -322,8 +327,14 @@ def main():
     print(json.dumps({
         "metric": "deit_s_w2a2_qkr_qat_train_mfu",
         "value": round(mfu, 4),
+        # dual reporting (round-4 verdict weak #6): the same metric from
+        # the MEDIAN timed round — conservative against tunnel variance
+        "value_median": round(
+            (head["median"] * gflops / 1e3) / MEASURED_PEAK_TFLOPS, 4),
         "unit": "MFU vs measured 234 TFLOP/s int8 MXU peak",
         "vs_baseline": round(imgs_per_sec / A100_ESTIMATE_IMGS_PER_SEC, 3),
+        "vs_baseline_median": round(
+            head["median"] / A100_ESTIMATE_IMGS_PER_SEC, 3),
         "imgs_per_sec_per_chip": round(imgs_per_sec, 2),
         # tunnel variance bound: best/median/worst of the timed rounds
         # (DESIGN.md §7's caveat, now self-describing in the artifact)

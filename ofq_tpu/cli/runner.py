@@ -29,7 +29,8 @@ from ..train import (
     make_optimizer,
     make_train_step,
 )
-from ..train.checkpoint import make_manager, restore_latest, save_epoch
+from ..train.checkpoint import (abstract_like, make_manager, restore_latest,
+                                save_epoch)
 from ..train.schedule import constant_lr, cosine_with_warmup_cooldown
 from .common import experiment_dir, policy_from_namespace
 
@@ -592,8 +593,10 @@ class Runner:
 
             mgr = make_manager(self.out_dir, max_to_keep=args.checkpoint_hist,
                                metric_name=args.eval_metric)
-            restored, start_epoch = restore_latest(mgr, jax.eval_shape(
-                lambda: state))
+            # abstract_like (NOT eval_shape): carries the live state's
+            # target shardings so auto-resume re-shards a checkpoint
+            # saved under a different mesh topology (train.py:691-706)
+            restored, start_epoch = restore_latest(mgr, abstract_like(state))
             if restored is not None:
                 _logger.info("auto-resumed from epoch %d", start_epoch)
                 state = restored
@@ -605,7 +608,7 @@ class Runner:
             if os.path.isdir(rec_dir):
                 rec_mgr = make_manager(rec_dir, max_to_keep=2)
                 rec_state, rec_next = restore_latest(
-                    rec_mgr, jax.eval_shape(lambda: state))
+                    rec_mgr, abstract_like(state))
                 if (rec_state is not None
                         and rec_next - 1 > start_epoch * steps_per_epoch):
                     state = rec_state

@@ -16,7 +16,28 @@ from __future__ import annotations
 import os
 from typing import Any, Optional
 
+import jax
 import orbax.checkpoint as ocp
+
+
+def abstract_like(state) -> Any:
+    """Abstract pytree carrying shape/dtype AND the *current* sharding of
+    every leaf, for StandardRestore.
+
+    `jax.eval_shape(lambda: state)` drops shardings, which makes orbax
+    fall back to the sharding file written at save time — wrong (and
+    "unsafe", per orbax's own warning) when the runtime mesh topology
+    differs from the save-time one.  Passing the live target state's
+    shardings makes orbax re-shard on load, so a checkpoint saved under
+    e.g. {'data': 8} restores correctly under {'data': 4, 'model': 2} or
+    a single device (the reference resumes across world sizes,
+    train.py:691-706)."""
+
+    def leaf(x):
+        return jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                    sharding=getattr(x, "sharding", None))
+
+    return jax.tree.map(leaf, state)
 
 
 def make_manager(directory: str, *, max_to_keep: int = 10,
