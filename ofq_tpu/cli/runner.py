@@ -374,6 +374,18 @@ class Runner:
                 loaded = pickle.load(f)
         new = merge_pretrained(params["params"], loaded)
         out = {**params, "params": jax.tree.map(jnp.asarray, new)}
+        if path.endswith((".pth", ".pth.tar", ".pt", ".bin")) \
+                and "batch_stats" in params:
+            # a BN checkpoint (--replace-ln-by-bn run) carries running
+            # stats; dropping them would eval with calibration-init
+            # mean 0 / var 1
+            from ..convert import convert_bn_stats
+
+            bn = convert_bn_stats(sd)
+            if bn:
+                out["batch_stats"] = jax.tree.map(
+                    jnp.asarray,
+                    merge_pretrained(params["batch_stats"], bn))
         if calib_batch is not None:
             out = self.recalibrate_scales(out, loaded, calib_batch)
         return out

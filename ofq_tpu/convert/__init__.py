@@ -8,6 +8,7 @@ from .torch_export import (
     save_pth_tar,
 )
 from .torch_import import (
+    convert_bn_stats,
     convert_deit,
     convert_swin,
     load_torch_state_dict,
@@ -16,7 +17,7 @@ from .torch_import import (
 )
 
 __all__ = [
-    "convert_deit", "convert_swin", "load_torch_state_dict",
+    "convert_bn_stats", "convert_deit", "convert_swin", "load_torch_state_dict",
     "merge_pretrained", "split_qkv_for_qkr",
     "export_deit", "export_swin", "export_state_dict", "save_pth_tar",
     "export_experiment_torch",

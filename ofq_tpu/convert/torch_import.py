@@ -139,6 +139,40 @@ def _patch_embed(sd, prefix, dst, tree, img_size: int):
                transform=spatial_bias)
 
 
+def convert_bn_stats(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """BatchNorm running statistics of a --replace-ln-by-bn checkpoint
+    (reference src/utils/utils.py swap; torch keys `<site>.running_mean`/
+    `.running_var`) -> a flax 'batch_stats' tree mirroring convert_deit's
+    module naming ({site}/{mean,var}).  Returns {} for plain-LN
+    checkpoints; `num_batches_tracked` is intentionally dropped (our
+    TorchBatchNorm uses fixed momentum, as the reference's BatchNorm
+    does — it never enables the momentum=None running-average mode)."""
+    tree: Dict[str, Any] = {}
+    for k, v in sd.items():
+        if not (k.endswith(".running_mean") or k.endswith(".running_var")):
+            continue
+        leaf = "mean" if k.endswith(".running_mean") else "var"
+        parts = k.rsplit(".", 1)[0].split(".")
+        dst: list[str] = []
+        i = 0
+        while i < len(parts):
+            # torch 'blocks.N.<site>' -> flax 'blocks_N/<site>' (DeiT);
+            # torchvision Swin 'features.F.B.<site>' -> 'features_F_B'
+            if (parts[i] in ("blocks", "features") and i + 1 < len(parts)
+                    and parts[i + 1].isdigit()):
+                name = f"{parts[i]}_{parts[i + 1]}"
+                i += 2
+                while i < len(parts) and parts[i].isdigit():
+                    name += f"_{parts[i]}"
+                    i += 1
+                dst.append(name)
+            else:
+                dst.append(parts[i])
+                i += 1
+        _set(tree, dst + [leaf], np.asarray(v))
+    return tree
+
+
 def convert_deit(sd: Mapping[str, np.ndarray], *, depth: int = 12,
                  img_size: int = 224) -> Dict[str, Any]:
     """Reference DeiT checkpoint (FP or OFQ-quantized) -> Flax params dict."""

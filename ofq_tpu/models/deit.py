@@ -83,6 +83,68 @@ DEIT_SMALL = DeiTConfig(embed_dim=384, num_heads=6)
 DEIT_BASE = DeiTConfig(embed_dim=768, num_heads=12)
 
 
+class TorchBatchNorm(nn.Module):
+    """Feature-axis BatchNorm with exact torch `_BatchNorm` semantics.
+
+    The --replace-ln-by-bn swap must match the reference's
+    `BatchNorm(transpose=True)` (src/utils/utils.py) bit-for-bit, and
+    flax's nn.BatchNorm differs in two ways that a train-mode
+    differential catches:
+      * torch updates running_var with the UNBIASED batch variance
+        (n/(n-1)); flax uses the biased one,
+      * the reference's `build_bn_from_ln` drops the LN's eps and takes
+        torch's BatchNorm default 1e-5 (NOT the ViT LN's 1e-6).
+    Normalization in train mode uses the biased batch variance (both
+    frameworks agree there); running stats live in 'batch_stats' under
+    the same {mean, var} names flax uses (checkpoint-shape compatible).
+    Param/stat trees stay fp32; statistics compute in >=fp32.
+    """
+
+    use_running_average: bool
+    epsilon: float = 1e-5
+    momentum: float = 0.1  # torch convention: new = (1-m)·old + m·batch
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((C,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((C,), jnp.float32))
+        stat_dtype = jnp.promote_types(x.dtype, jnp.float32)
+        if self.use_running_average:
+            mean = ra_mean.value.astype(stat_dtype)
+            var = ra_var.value.astype(stat_dtype)
+        else:
+            xf = x.astype(stat_dtype)
+            red = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, red)
+            # biased variance normalizes (torch and flax agree) ...
+            var = jnp.mean(jnp.square(xf - mean), red)
+            if not self.is_initializing():
+                n = x.size // C
+                # ... the UNBIASED one feeds the running update (torch
+                # F.batch_norm training-mode semantics)
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                # stat_dtype (not a hard fp32 cast): >=fp32 always; keeps
+                # the fp64 torch-differential path exact under x64
+                ra_mean.value = ((1 - m) * ra_mean.value
+                                 + m * jax.lax.stop_gradient(
+                                     mean.astype(stat_dtype)))
+                ra_var.value = ((1 - m) * ra_var.value
+                                + m * jax.lax.stop_gradient(
+                                    unbiased.astype(stat_dtype)))
+        out_dtype = (jnp.dtype(self.dtype) if self.dtype is not None
+                     else x.dtype)
+        y = (x.astype(stat_dtype) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale.astype(stat_dtype) + bias.astype(stat_dtype)
+        return y.astype(out_dtype)
+
+
 def make_norm(norm_layer: str, eps: float, name: str, deterministic: bool,
               compute_dtype: Optional[str] = None):
     # dtype must be pinned under the bf16 stream: flax's default dtype
@@ -91,8 +153,10 @@ def make_norm(norm_layer: str, eps: float, name: str, deterministic: bool,
     # norm (statistics still accumulate in fp32 internally)
     dtype = jnp.dtype(compute_dtype) if compute_dtype is not None else None
     if norm_layer == "batchnorm":
-        return nn.BatchNorm(use_running_average=deterministic,
-                            epsilon=eps, momentum=0.9, dtype=dtype, name=name)
+        # NB: eps is NOT the LN eps — the reference's build_bn_from_ln
+        # drops it and takes torch's BatchNorm default (see TorchBatchNorm)
+        return TorchBatchNorm(use_running_average=deterministic,
+                              dtype=dtype, name=name)
     return nn.LayerNorm(epsilon=eps, dtype=dtype, name=name)
 
 

@@ -491,3 +491,127 @@ class TestRealGeometryBackward:
         torch autograd through the genuine reference modules."""
         _deit_backward_case(2, dim=384, heads=6, depth=12, classes=1000,
                             n=1)
+
+
+# --------------------------------- train-mode BN-swap differential (r4 #7)
+
+class TestBnSwapTrainModeDifferential:
+    """--replace-ln-by-bn, train mode, vs the reference's own
+    `replace_ln_by_bn1d` (src/utils/utils.py; hooked train.py:521-522).
+
+    Closes the round-4 eval-mode-only caveat: one train=True forward
+    through the BN-swapped quantized DeiT comparing logits AND the
+    updated running statistics.  Two torch semantics a plain flax
+    nn.BatchNorm gets wrong (hence models/deit.TorchBatchNorm):
+    running_var updates with the UNBIASED batch variance, and eps is
+    torch's BatchNorm default 1e-5 — the reference's build_bn_from_ln
+    DROPS the LN's 1e-6.  Swin has no torch counterpart (the reference
+    crashes on its 4-D maps, SwinConfig.norm_layer); its BN path is
+    unit-tested in test_swin.py."""
+
+    def _build(self, bits=2, n=4):
+        torch.manual_seed(0)
+        m = rl.build_reference_deit(depth=DEPTH, embed_dim=DIM,
+                                    num_heads=HEADS, num_classes=CLASSES)
+        x_t = td._x(n=n)
+        qm = rl.quantize_reference(
+            m, wq_bitw=bits, aq_bitw=bits, wq_mode="statsq", aq_mode="lsq",
+            qmodules=default_deit_qmodules(DEPTH),
+            qk_reparam=True, qk_reparam_type=0)
+        from src.utils.utils import replace_ln_by_bn1d
+
+        qm = replace_ln_by_bn1d(qm)  # AFTER surgery (train.py:512->521)
+        rl.setup_alpha(qm, x_t)      # eval mode: running stats stay 0/1
+        td._perturb(qm)
+        qm = qm.double()
+        sd = {k: v.detach().numpy().copy()
+              for k, v in qm.state_dict().items()}
+        pol = policy_from_args(
+            wq_bitw=bits, aq_bitw=bits, wq_mode="statsq", aq_mode="lsq",
+            wq_learnable=False, qmodules=default_deit_qmodules(DEPTH),
+            qk_reparam=True, qk_reparam_type=0)
+        cfg = DeiTConfig(img_size=224, patch_size=16, embed_dim=DIM,
+                         depth=DEPTH, num_heads=HEADS, num_classes=CLASSES,
+                         norm_layer="batchnorm")
+        return qm, VisionTransformer(cfg=cfg, policy=pol), sd, x_t
+
+    def test_deit_w2_train_forward_and_running_stats(self):
+        from ofq_tpu.convert import convert_bn_stats
+
+        qm, model, sd, x_t = self._build()
+        qm.train()
+        with torch.no_grad():
+            out_t, _ = qm(x_t.double())
+        cls_t, dist_t = (o.detach().numpy() for o in out_t)
+        stats_t = {k: v.detach().numpy().copy()
+                   for k, v in qm.state_dict().items()
+                   if k.endswith(("running_mean", "running_var"))}
+        # params-only sd for the strict converter; BN stats ride their
+        # own collection via convert_bn_stats
+        sd_params = {k: v for k, v in sd.items()
+                     if not k.endswith(("running_mean", "running_var",
+                                        "num_batches_tracked"))}
+
+        x_np = np.transpose(x_t.numpy(), (0, 2, 3, 1)).astype(np.float64)
+        with _x64(), jax.disable_jit():
+            x = jnp.asarray(x_np)
+            variables = _our_variables_f64(model, sd_params, x, convert_deit,
+                                           depth=DEPTH, img_size=224)
+            bn0 = jax.tree.map(lambda a: jnp.asarray(a, jnp.float64),
+                               convert_bn_stats(sd))
+            got0 = _flat(jax.tree.map(np.asarray, bn0))
+            want0 = _flat(jax.tree.map(
+                np.asarray, variables["batch_stats"]))
+            assert set(got0) == set(want0), (
+                sorted(set(got0) ^ set(want0))[:6])
+            variables = {**variables, "batch_stats": bn0}
+            (out_j, _), mut = model.apply(
+                variables, x, train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.key(1),
+                      "droppath": jax.random.key(2)})
+            cls_j, dist_j = (np.asarray(o) for o in out_j)
+
+        for name, a, b in (("cls", cls_j, cls_t), ("dist", dist_j, dist_t)):
+            d = float(np.abs(a - b).max())
+            assert d < 1e-6, f"{name} train-mode logits diverge: {d:.3e}"
+        got = _flat(jax.tree.map(np.asarray, mut["batch_stats"]))
+        want = _flat(convert_bn_stats(stats_t))
+        assert set(got) == set(want)
+        for p in sorted(want):
+            d = float(np.abs(got[p] - want[p]).max())
+            assert d < 1e-9, (
+                f"{p}: running-stat update diverges by {d:.3e} "
+                f"(unbiased-variance / momentum semantics)")
+
+    def test_eval_mode_uses_running_stats(self):
+        """After the train step, eval-mode logits must come from the
+        UPDATED running stats (use_running_average path) and match torch
+        eval."""
+        from ofq_tpu.convert import convert_bn_stats
+
+        qm, model, sd, x_t = self._build(n=2)
+        qm.train()
+        with torch.no_grad():
+            qm(x_t.double())  # one train step's stat update
+        qm.eval()
+        with torch.no_grad():
+            out_t, _ = qm(x_t.double())
+        out_t = out_t.detach().numpy()  # eval: (cls+dist)/2 mean logits
+        stats_t = {k: v.detach().numpy().copy()
+                   for k, v in qm.state_dict().items()
+                   if k.endswith(("running_mean", "running_var"))}
+        sd_params = {k: v for k, v in sd.items()
+                     if not k.endswith(("running_mean", "running_var",
+                                        "num_batches_tracked"))}
+        x_np = np.transpose(x_t.numpy(), (0, 2, 3, 1)).astype(np.float64)
+        with _x64(), jax.disable_jit():
+            x = jnp.asarray(x_np)
+            variables = _our_variables_f64(model, sd_params, x, convert_deit,
+                                           depth=DEPTH, img_size=224)
+            bn = jax.tree.map(lambda a: jnp.asarray(a, jnp.float64),
+                              convert_bn_stats(stats_t))
+            out_j, _ = model.apply({**variables, "batch_stats": bn},
+                                   x, train=False)
+            out_j = np.asarray(out_j)
+        d = float(np.abs(out_j - out_t).max())
+        assert d < 1e-6, f"eval-mode BN logits diverge: {d:.3e}"
