@@ -140,7 +140,11 @@ class TorchBatchNorm(nn.Module):
                                     unbiased.astype(stat_dtype)))
         out_dtype = (jnp.dtype(self.dtype) if self.dtype is not None
                      else x.dtype)
-        y = (x.astype(stat_dtype) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        # sqrt+divide, NOT rsqrt: torch's F.batch_norm normalizes with
+        # 1/sqrt, and the rsqrt ulp difference is enough to flip STE
+        # clip-mask boundaries downstream over a multi-step fp64
+        # trajectory (caught by test_bn_swap_6_steps at 2.4e-6)
+        y = (x.astype(stat_dtype) - mean) / jnp.sqrt(var + self.epsilon)
         y = y * scale.astype(stat_dtype) + bias.astype(stat_dtype)
         return y.astype(out_dtype)
 

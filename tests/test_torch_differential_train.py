@@ -77,14 +77,19 @@ def _flat(tree, prefix=""):
 
 def _build_deit(bits, *, qk_reparam=True, qk_reparam_type=0,
                 wq_mode="statsq", dim=DIM, heads=HEADS, depth=DEPTH,
-                classes=CLASSES, n=2):
+                classes=CLASSES, n=2, bn=False):
     """(torch fp64 quantized model, our model, torch sd, x_t).
 
     wq_learnable=False matches the reference surgery's weight config
     (`rl.quantize_reference` passes learnable=False, like every shipped
     script: no train_scripts/* passes --wq_clip_learnable) — frozen
     weight scales on their side must show as ZERO scale gradients on
-    ours (checked in _compare_grad_trees)."""
+    ours (checked in _compare_grad_trees).
+
+    bn=True applies the reference's replace_ln_by_bn1d AFTER surgery
+    (train.py:512->521 ordering); the returned sd excludes BN running
+    stats (they are 0/1 on both sides — setup_alpha runs in eval mode —
+    and live in 'batch_stats', not params)."""
     torch.manual_seed(0)
     m = rl.build_reference_deit(depth=depth, embed_dim=dim, num_heads=heads,
                                 num_classes=classes)
@@ -93,19 +98,26 @@ def _build_deit(bits, *, qk_reparam=True, qk_reparam_type=0,
         m, wq_bitw=bits, aq_bitw=bits, wq_mode=wq_mode, aq_mode="lsq",
         qmodules=default_deit_qmodules(depth),
         qk_reparam=qk_reparam, qk_reparam_type=qk_reparam_type)
+    if bn:
+        from src.utils.utils import replace_ln_by_bn1d
+
+        qm = replace_ln_by_bn1d(qm)
     rl.setup_alpha(qm, x_t)
     td._perturb(qm)
     qm = qm.double()
     # .copy(): .numpy() returns VIEWS of the live torch storage — the
     # trajectory tests train the torch model in place afterwards
-    sd = {k: v.detach().numpy().copy() for k, v in qm.state_dict().items()}
+    sd = {k: v.detach().numpy().copy() for k, v in qm.state_dict().items()
+          if not k.endswith(("running_mean", "running_var",
+                             "num_batches_tracked"))}
     pol = policy_from_args(
         wq_bitw=bits, aq_bitw=bits, wq_mode=wq_mode, aq_mode="lsq",
         wq_learnable=False,
         qmodules=default_deit_qmodules(depth),
         qk_reparam=qk_reparam, qk_reparam_type=qk_reparam_type)
     cfg = DeiTConfig(img_size=224, patch_size=16, embed_dim=dim, depth=depth,
-                     num_heads=heads, num_classes=classes)
+                     num_heads=heads, num_classes=classes,
+                     norm_layer="batchnorm" if bn else "layernorm")
     return qm, VisionTransformer(cfg=cfg, policy=pol), sd, x_t
 
 
@@ -213,10 +225,13 @@ def _deit_backward_case(bits, **kwargs):
         t_log = jnp.asarray(t_logits.numpy())
 
         def loss_fn(params):
-            out, _ = model.apply(
+            has_bn = "batch_stats" in variables
+            out_aux = model.apply(
                 {**variables, "params": params}, x, train=True,
+                mutable=(["batch_stats"] if has_bn else False),
                 rngs={"dropout": jax.random.key(1),
                       "droppath": jax.random.key(2)})
+            out, _ = out_aux[0] if has_bn else out_aux
             return kd_soft_and_hard(out, y, t_log)
 
         loss_j, grads_j = jax.value_and_grad(loss_fn)(variables["params"])
@@ -240,6 +255,13 @@ class TestDeiTBackwardDifferential:
 
     def test_statsq_lsq_no_qkr_w3(self):
         _deit_backward_case(3, qk_reparam=False)
+
+    def test_bn_swap_w2(self):
+        """--replace-ln-by-bn backward: gradients flow THROUGH the batch
+        statistics (mean/var are functions of x), the genuinely new
+        wiring vs the LN cases — per-leaf parity incl. the BN affine
+        params vs torch autograd through replace_ln_by_bn1d."""
+        _deit_backward_case(2, bn=True)
 
     def test_full_lsq_w4(self):
         """LSQ weights AND acts: per-row weight-scale gradients (with the
@@ -366,10 +388,12 @@ def _torch_cga_restore(qm, masks, frozen):
 
 
 def _trajectory_case(*, steps=10, cga=False, agc=None, bits=2, br=0.05,
-                     steps_per_epoch=2):
+                     steps_per_epoch=2, bn=False, weight_tol=1e-6,
+                     outlier_tolerant=False):
     qk_reparam_type = 1 if cga else 0
     qm, model, sd, x_t0 = _build_deit(bits, qk_reparam=True,
-                                      qk_reparam_type=qk_reparam_type)
+                                      qk_reparam_type=qk_reparam_type,
+                                      bn=bn)
     tm, tmodel, tsd = _build_teacher_deit()
 
     # identical batch stream on both sides
@@ -446,6 +470,8 @@ def _trajectory_case(*, steps=10, cga=False, agc=None, bits=2, br=0.05,
                 f"step {i}: loss {loss_j} vs torch {losses_t[i]} — "
                 f"trajectories diverged")
         final = jax.tree.map(np.asarray, state.params["params"])
+        final_bn = (jax.tree.map(np.asarray, state.params["batch_stats"])
+                    if bn else None)
 
     want = _flat(convert_deit(
         {k: v for k, v in sd_final.items()
@@ -453,12 +479,46 @@ def _trajectory_case(*, steps=10, cga=False, agc=None, bits=2, br=0.05,
         depth=DEPTH, img_size=224))
     got = _flat(final)
     assert set(want) <= set(got)
-    for p in want:
-        d = np.abs(got[p] - want[p])
-        scale = max(1.0, float(np.abs(want[p]).max()))
-        assert d.max() / scale < 1e-6, (
-            f"{p}: step-{steps} weight diff {d.max():.3e} — "
-            f"optimizer/CGA trajectory divergence")
+    if outlier_tolerant:
+        # _assert_quantized_close philosophy for trajectories: a wiring
+        # bug shifts elements SYSTEMATICALLY (large median / large
+        # outlier fraction); fp-noise-seeded STE boundary flips in a late
+        # backward move a few tiny-gradient elements by up to ~2·lr
+        # (Adam normalizes a sign-flipped noise gradient to a full-size
+        # step) while the median stays at fp64 noise.
+        alld = np.concatenate([
+            np.abs(got[p] - want[p]).ravel() for p in want])
+        assert float(np.median(alld)) < 1e-9, (
+            f"median weight diff {np.median(alld):.3e} — systematic")
+        frac = float((alld > 1e-6).mean())
+        assert frac < 0.01, (
+            f"{frac:.2%} of elements beyond 1e-6 — systematic divergence")
+        assert float(alld.max()) < 5e-3, (
+            f"max weight diff {alld.max():.3e} — beyond flip scale")
+    else:
+        for p in want:
+            d = np.abs(got[p] - want[p])
+            scale = max(1.0, float(np.abs(want[p]).max()))
+            assert d.max() / scale < weight_tol, (
+                f"{p}: step-{steps} weight diff {d.max():.3e} — "
+                f"optimizer/CGA trajectory divergence")
+    if bn:
+        from ofq_tpu.convert import convert_bn_stats
+
+        want_bn = _flat(convert_bn_stats(sd_final))
+        got_bn = _flat(final_bn)
+        assert set(want_bn) == set(got_bn)
+        bn_all = np.concatenate([
+            np.abs(got_bn[p] - want_bn[p]).ravel() for p in want_bn])
+        # stats are EMAs of the (flip-perturbed) activations: once a few
+        # weights differ at flip scale, every later batch-stat update
+        # inherits ~1e-8 drift (measured median 2e-8).  The 1e-6 bound
+        # still decisively catches semantic bugs — flax's biased-variance
+        # update alone is a 1/(n-1) ≈ 2.5e-3 RELATIVE error
+        assert float(np.median(bn_all)) < 1e-6, (
+            f"median running-stat diff {np.median(bn_all):.3e}")
+        assert float(bn_all.max()) < 1e-3, (
+            f"max running-stat diff {bn_all.max():.3e}")
 
 
 class TestTrajectoryDifferential:
@@ -479,6 +539,26 @@ class TestTrajectoryDifferential:
         """(d) AGC-clipped trajectory (reference adaptive_clip_grad on
         parameters()[:-2], train.py:930-932) through the optimizer chain."""
         _trajectory_case(steps=6, agc=0.01)
+
+    def test_bn_swap_6_steps(self):
+        """(e) --replace-ln-by-bn trajectory: BN affine params train
+        under the timm 1-D no-decay rule while running statistics evolve
+        in 'batch_stats' — step-6 weights AND running stats match the
+        reference loop (unbiased-variance update compounding across
+        steps).
+
+        Outlier-tolerant criterion (unlike the LN cases' strict 1e-6):
+        BN's batch-stat reductions differ from torch only in fp64
+        summation ORDER (~1e-16), but that seed flips a handful of STE
+        clip-boundary decisions in a late backward.  Measured (8-step
+        instrumented run): per-step |dloss| 7.5e-12 -> 4.6e-10 — the
+        forward is essentially exact the whole way — while 0.17% of
+        weight elements (tiny-gradient move_aft biases, where Adam turns
+        a sign-flipped noise gradient into a full ~lr-size step) land at
+        flip scale and the median sits at 5e-12.  A wiring bug moves the
+        median and fails the strict single-step BN backward differential
+        above; this is chaos, not mis-wiring."""
+        _trajectory_case(steps=6, bn=True, outlier_tolerant=True)
 
 
 # ----------------------------------------- real-geometry spot check
