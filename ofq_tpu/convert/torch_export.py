@@ -140,9 +140,18 @@ def _mlp_act(mlp: Mapping[str, Any], prefix: str,
         out[f"{prefix}.act.weight"] = _np(act["alpha"])
 
 
-def _norm(node: Mapping[str, Any], prefix: str, out: Dict[str, np.ndarray]):
+def _norm(node: Mapping[str, Any], prefix: str, out: Dict[str, np.ndarray],
+          stats: Optional[Mapping[str, Any]] = None):
     out[f"{prefix}.weight"] = _np(node["scale"])
     out[f"{prefix}.bias"] = _np(node["bias"])
+    if stats is not None:
+        # --replace-ln-by-bn site: the reference's BatchNorm persists
+        # running stats + num_batches_tracked (torch _BatchNorm buffers;
+        # the counter is unused under fixed momentum — emitted as 0 so
+        # strict loads succeed)
+        out[f"{prefix}.running_mean"] = _np(stats["mean"])
+        out[f"{prefix}.running_var"] = _np(stats["var"])
+        out[f"{prefix}.num_batches_tracked"] = np.asarray(0, np.int64)
 
 
 def _patch_embed(node: Mapping[str, Any], prefix: str,
@@ -175,10 +184,14 @@ def _patch_embed_signed(quant_stats: Optional[Mapping[str, Any]]
 
 
 def export_deit(params: Mapping[str, Any], *,
-                quant_stats: Optional[Mapping[str, Any]] = None
+                quant_stats: Optional[Mapping[str, Any]] = None,
+                batch_stats: Optional[Mapping[str, Any]] = None
                 ) -> Dict[str, np.ndarray]:
     """ofq_tpu DeiT param tree -> reference state_dict (FP or quantized,
-    plain or distilled, QKR or fused-qkv — detected from the tree)."""
+    plain or distilled, QKR or fused-qkv — detected from the tree).
+    `batch_stats` (a --replace-ln-by-bn run's running statistics) emits
+    the reference BatchNorm buffers per swapped site."""
+    bs = batch_stats or {}
     out: Dict[str, np.ndarray] = {}
     for tok in ("cls_token", "dist_token", "pos_embed"):
         if tok in params:
@@ -188,13 +201,16 @@ def export_deit(params: Mapping[str, Any], *,
     depth = sum(1 for k in params if k.startswith("blocks_"))
     for i in range(depth):
         blk = params[f"blocks_{i}"]
-        _norm(blk["norm1"], f"blocks.{i}.norm1", out)
-        _norm(blk["norm2"], f"blocks.{i}.norm2", out)
+        blk_bs = bs.get(f"blocks_{i}", {})
+        _norm(blk["norm1"], f"blocks.{i}.norm1", out,
+              stats=blk_bs.get("norm1"))
+        _norm(blk["norm2"], f"blocks.{i}.norm2", out,
+              stats=blk_bs.get("norm2"))
         _attention(blk["attn"], f"blocks.{i}.attn", out)
         _qlinear(blk["mlp"]["fc1"], f"blocks.{i}.mlp.fc1", out)
         _qlinear(blk["mlp"]["fc2"], f"blocks.{i}.mlp.fc2", out)
         _mlp_act(blk["mlp"], f"blocks.{i}.mlp", out)
-    _norm(params["norm"], "norm", out)
+    _norm(params["norm"], "norm", out, stats=bs.get("norm"))
     for head in ("head", "head_dist"):
         if head in params:
             _qlinear(params[head], head, out)
@@ -203,23 +219,29 @@ def export_deit(params: Mapping[str, Any], *,
 
 def export_swin(params: Mapping[str, Any], *,
                 depths=(2, 2, 6, 2),
-                quant_stats: Optional[Mapping[str, Any]] = None
+                quant_stats: Optional[Mapping[str, Any]] = None,
+                batch_stats: Optional[Mapping[str, Any]] = None
                 ) -> Dict[str, np.ndarray]:
     """ofq_tpu Swin param tree -> reference state_dict.  Static geometry
     buffers (relative_position_index, shift masks) are rebuilt by the
     reference at construction and are not emitted — load with
     strict=False (the reference's own resume behavior, train.py:515)."""
+    bs = batch_stats or {}
     out: Dict[str, np.ndarray] = {}
     _patch_embed(params["patch_embed"], "features.0.0", out,
                  _patch_embed_signed(quant_stats))
-    _norm(params["patch_norm"], "features.0.2", out)
+    _norm(params["patch_norm"], "features.0.2", out,
+          stats=bs.get("patch_norm"))
     feat_idx = 1
     for stage, depth in enumerate(depths):
         for blk_i in range(depth):
             blk = params[f"features_{feat_idx}_{blk_i}"]
             prefix = f"features.{feat_idx}.{blk_i}"
-            _norm(blk["norm1"], f"{prefix}.norm1", out)
-            _norm(blk["norm2"], f"{prefix}.norm2", out)
+            blk_bs = bs.get(f"features_{feat_idx}_{blk_i}", {})
+            _norm(blk["norm1"], f"{prefix}.norm1", out,
+                  stats=blk_bs.get("norm1"))
+            _norm(blk["norm2"], f"{prefix}.norm2", out,
+                  stats=blk_bs.get("norm2"))
             _attention(blk["attn"], f"{prefix}.attn", out)
             out[f"{prefix}.attn.relative_position_bias_table"] = _np(
                 blk["attn"]["relative_position_bias_table"])
@@ -234,22 +256,26 @@ def export_swin(params: Mapping[str, Any], *,
         feat_idx += 1
         if stage < len(depths) - 1:
             merge = params[f"features_{feat_idx}"]
-            _norm(merge["norm"], f"features.{feat_idx}.norm", out)
+            _norm(merge["norm"], f"features.{feat_idx}.norm", out,
+                  stats=bs.get(f"features_{feat_idx}", {}).get("norm"))
             _qlinear(merge["reduction"], f"features.{feat_idx}.reduction",
                      out)
             feat_idx += 1
-    _norm(params["norm"], "norm", out)
+    _norm(params["norm"], "norm", out, stats=bs.get("norm"))
     _qlinear(params["head"], "head", out)
     return out
 
 
 def export_state_dict(params: Mapping[str, Any], *, model_type: str,
                       depths=(2, 2, 6, 2),
-                      quant_stats: Optional[Mapping[str, Any]] = None
+                      quant_stats: Optional[Mapping[str, Any]] = None,
+                      batch_stats: Optional[Mapping[str, Any]] = None
                       ) -> Dict[str, np.ndarray]:
     if model_type == "swin":
-        return export_swin(params, depths=depths, quant_stats=quant_stats)
-    return export_deit(params, quant_stats=quant_stats)
+        return export_swin(params, depths=depths, quant_stats=quant_stats,
+                           batch_stats=batch_stats)
+    return export_deit(params, quant_stats=quant_stats,
+                       batch_stats=batch_stats)
 
 
 def save_pth_tar(state_dict: Mapping[str, np.ndarray], path: str, *,
@@ -291,15 +317,6 @@ def export_experiment_torch(exp_dir: str, out_path: str, *,
 
     p = Predictor.from_experiment(exp_dir, batch_size=1, use_best=use_best)
     variables = p.params
-    if "batch_stats" in variables:
-        # LN->BN-swapped models (--norm-layer batchnorm) carry running
-        # stats in their own collection; flax BatchNorm's scale/bias would
-        # export silently while running_mean/var were dropped — refuse.
-        # The published OFQ recipes are all LayerNorm.
-        raise NotImplementedError(
-            "torch export covers LayerNorm models; this experiment has a "
-            "'batch_stats' collection (BatchNorm-swapped) whose running "
-            "stats have no 1:1 reference checkpoint layout here")
     with open(os.path.join(exp_dir, "args.yaml")) as f:
         saved = yaml.safe_load(f)
     model_type = saved.get("model_type", "deit")
@@ -307,7 +324,8 @@ def export_experiment_torch(exp_dir: str, out_path: str, *,
     depths = (swin_depths_from_params(params) if model_type == "swin"
               else (2, 2, 6, 2))
     sd = export_state_dict(params, model_type=model_type, depths=depths,
-                           quant_stats=variables.get("quant_stats"))
+                           quant_stats=variables.get("quant_stats"),
+                           batch_stats=variables.get("batch_stats"))
     # stamp the RESTORED checkpoint's epoch (best-k retention can pick a
     # mid-run epoch), not the configured total
     return save_pth_tar(sd, out_path, arch=saved.get("model", ""),

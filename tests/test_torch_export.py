@@ -277,23 +277,61 @@ class TestActExport:
             back["blocks_0"]["mlp"]["act"]["alpha"],
             params["blocks_0"]["mlp"]["act"]["alpha"])
 
-    def test_batchnorm_experiment_rejected(self, tmp_path):
-        """BN-swapped experiments carry running stats in 'batch_stats';
-        exporting just scale/bias would silently produce a broken torch
-        checkpoint — must refuse."""
-        import unittest.mock as mock
+    def test_batchnorm_export_strict_and_parity(self):
+        """--replace-ln-by-bn export (round-5: previously refused): the
+        BN running statistics emit as the reference BatchNorm buffers
+        (running_mean/running_var/num_batches_tracked), strict-load into
+        the reference's replace_ln_by_bn1d model, and eval-mode logits —
+        which CONSUME the running stats — match.  Stats are perturbed
+        independently of the affine params so a dropped buffer cannot
+        hide behind 0/1 defaults."""
+        from ofq_tpu.convert import convert_bn_stats
 
-        from ofq_tpu.convert.torch_export import export_experiment_torch
-        from ofq_tpu.serve import Predictor
+        x_t = _x(seed=11)
+        qm = default_deit_qmodules(DEPTH, distilled=True)
+        pol = policy_from_args(wq_bitw=2, aq_bitw=2, qmodules=qm,
+                               qk_reparam=True)
+        cfg = DeiTConfig(img_size=224, patch_size=16, embed_dim=DIM,
+                         depth=DEPTH, num_heads=HEADS, num_classes=CLASSES,
+                         norm_layer="batchnorm")
+        model = VisionTransformer(cfg=cfg, policy=pol)
+        x = jnp.asarray(np.transpose(x_t.numpy(), (0, 2, 3, 1)))
+        variables = jax.jit(
+            lambda k, xx: model.init({"params": k}, xx, train=False)
+        )(jax.random.key(0), x)
+        params = _perturb_ours(variables["params"])
+        rng = np.random.RandomState(3)
+        bstats = jax.tree.map(
+            lambda v: np.abs(np.asarray(v, np.float32)
+                             + rng.normal(0, 0.3, np.shape(v))
+                             .astype(np.float32)) + 0.05,
+            jax.tree.map(np.asarray, variables["batch_stats"]))
+        variables = {**variables,
+                     "params": jax.tree.map(jnp.asarray, params),
+                     "batch_stats": jax.tree.map(jnp.asarray, bstats)}
+        ours = np.asarray(jax.jit(
+            lambda v, xx: model.apply(v, xx, train=False)[0])(variables, x))
 
-        fake = mock.Mock()
-        fake.params = {"params": {}, "batch_stats": {"norm": {}}}
-        (tmp_path / "args.yaml").write_text("model_type: deit\n")
-        with mock.patch.object(Predictor, "from_experiment",
-                               return_value=fake):
-            with pytest.raises(NotImplementedError, match="batch_stats"):
-                export_experiment_torch(str(tmp_path),
-                                        str(tmp_path / "o.pth.tar"))
+        sd = export_deit(params, quant_stats=variables.get("quant_stats"),
+                         batch_stats=bstats)
+        assert "blocks.0.norm1.running_var" in sd
+        # round-trip: stats come back bit-exact through convert_bn_stats
+        back = convert_bn_stats(sd)
+        for k, a in _flat(bstats).items():
+            np.testing.assert_array_equal(a, _flat(back)[k], err_msg=k)
+
+        torch.manual_seed(0)
+        ref = rl.build_reference_deit(depth=DEPTH, embed_dim=DIM,
+                                      num_heads=HEADS, num_classes=CLASSES)
+        ref = rl.quantize_reference(
+            ref, model_type="deit", wq_bitw=2, aq_bitw=2, qmodules=qm,
+            qk_reparam=True)
+        from src.utils.utils import replace_ln_by_bn1d
+
+        ref = replace_ln_by_bn1d(ref)
+        rl.setup_alpha(ref, _x(seed=99, n=1))
+        _load_reference(ref, sd)
+        _assert_quantized_close(ours, _ref_forward(ref, x_t))
 
     def test_rprelu_rejected(self):
         """rprelu has no reference checkpoint layout (the reference's
