@@ -136,14 +136,23 @@ def init_scale(x: jax.Array, bit: int, all_positive: bool,
     if channel_axis is None:
         factor = 2.0
         m = jnp.mean(jnp.abs(x))
-        return (factor * m / math.sqrt(thd_pos)).reshape(1)
-    factor = 4.0 if all_positive else 2.0
-    keep = _scale_axes(channel_axis, x.ndim)
-    m = jnp.mean(jnp.abs(x),
-                 axis=tuple(a for a in range(x.ndim) if a not in keep))
-    # tuple-axis scales are stored FLAT (row-major over the kept axes) so
-    # the param tree is identical to the reshape-based formulation
-    return (factor * m / math.sqrt(thd_pos)).reshape(-1)
+        s = (factor * m / math.sqrt(thd_pos)).reshape(1)
+    else:
+        factor = 4.0 if all_positive else 2.0
+        keep = _scale_axes(channel_axis, x.ndim)
+        m = jnp.mean(jnp.abs(x),
+                     axis=tuple(a for a in range(x.ndim) if a not in keep))
+        # tuple-axis scales are stored FLAT (row-major over the kept axes)
+        # so the param tree is identical to the reshape-based formulation
+        s = (factor * m / math.sqrt(thd_pos)).reshape(-1)
+    # round through float32: the reference's setup_alpha materializes s as
+    # a float32 Parameter REGARDLESS of model dtype (torch.zeros(...,
+    # device="cuda") default dtype + copy_, lsq.py:556-569) — a no-op in
+    # f32/bf16 production, and required for the fp64 model-level
+    # calibration differential, where f64-exact scales here would seed
+    # ~5e-8 forward divergence that W4's level grid amplifies through
+    # depth (tests/test_calibration_differential.py).
+    return s.astype(jnp.float32).astype(s.dtype)
 
 
 def lsq_quantize_composed(
