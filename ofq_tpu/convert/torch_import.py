@@ -152,7 +152,13 @@ def convert_bn_stats(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
         if not (k.endswith(".running_mean") or k.endswith(".running_var")):
             continue
         leaf = "mean" if k.endswith(".running_mean") else "var"
-        parts = k.rsplit(".", 1)[0].split(".")
+        site = k.rsplit(".", 1)[0]
+        if site == "features.0.2":
+            # torchvision Swin patch-embed LN -> our 'patch_norm'
+            # (mirrors convert_swin's params mapping)
+            _set(tree, ["patch_norm", leaf], np.asarray(v))
+            continue
+        parts = site.split(".")
         dst: list[str] = []
         i = 0
         while i < len(parts):

@@ -284,3 +284,37 @@ class TestSwinConvert:
         logits, _ = model.apply(
             {"params": jax.tree.map(jnp.asarray, merged)}, x, train=False)
         assert bool(jnp.isfinite(logits).all())
+
+
+class TestBnStatsConvert:
+    def test_deit_and_swin_naming(self):
+        """convert_bn_stats maps torch running-stat keys onto the flax
+        batch_stats naming for both families; num_batches_tracked is
+        dropped (fixed-momentum BN never reads it)."""
+        from ofq_tpu.convert import convert_bn_stats
+
+        sd = {
+            "blocks.0.norm1.running_mean": np.zeros(8),
+            "blocks.0.norm1.running_var": np.ones(8),
+            "blocks.0.norm1.num_batches_tracked": np.asarray(3),
+            "norm.running_mean": np.full(4, 2.0),
+            "features.1.0.norm2.running_mean": np.full(6, 5.0),
+            "features.2.norm.running_var": np.full(12, 7.0),
+            "features.0.2.running_mean": np.zeros(2),  # swin patch LN site
+            "blocks.0.norm1.weight": np.ones(8),       # params: ignored
+        }
+        t = convert_bn_stats(sd)
+        assert t["blocks_0"]["norm1"]["mean"].shape == (8,)
+        assert "num_batches_tracked" not in str(t)
+        np.testing.assert_array_equal(t["norm"]["mean"], 2.0)
+        np.testing.assert_array_equal(
+            t["features_1_0"]["norm2"]["mean"], 5.0)
+        np.testing.assert_array_equal(t["features_2"]["norm"]["var"], 7.0)
+        # torchvision Swin patch-embed LN site -> our 'patch_norm'
+        assert t["patch_norm"]["mean"].shape == (2,)
+        assert "weight" not in t.get("blocks_0", {}).get("norm1", {})
+
+    def test_empty_for_ln_checkpoints(self):
+        from ofq_tpu.convert import convert_bn_stats
+
+        assert convert_bn_stats({"blocks.0.norm1.weight": np.ones(4)}) == {}
