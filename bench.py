@@ -204,22 +204,33 @@ def serving_rate(batch=256, iters=8, int_core=True):
     return best
 
 
-def wait_for_backend(attempts=12, probe_timeout=90, sleep_s=60):
+def wait_for_backend(attempts=12, probe_timeout=120, sleep_s=60):
     """Fail loudly instead of hanging when the axon tunnel is down.
 
     Backend init happens on first device use; when the tunnel is broken
     even `jax.devices()` blocks forever (observed 2026-08-17), which
-    would hang the driver's bench run with no diagnostic.  Probe device
-    init in a subprocess with a hard timeout, retrying for ~30 min in
-    case the outage is transient (observed outages last hours, but a
-    bounded loud failure beats an unbounded silent hang either way)."""
+    would hang the driver's bench run with no diagnostic.  The probe
+    must HOST-FETCH a real matmul result: a half-wedged tunnel (observed
+    2026-08-21 after a client was killed mid-execution, DESIGN.md §7b)
+    lists devices and runs small elementwise ops while matmul execution
+    blocks forever — and block_until_ready returns early under the
+    tunnel, so only a host fetch is a true barrier.  Probe in a
+    subprocess with a hard timeout, retrying for ~30 min in case the
+    outage is transient (observed outages last hours, but a bounded
+    loud failure beats an unbounded silent hang either way)."""
     import subprocess
 
+    probe = (
+        "import jax, jax.numpy as jnp\n"
+        "p = jax.devices()[0].platform\n"
+        "x = jnp.ones((512, 512))\n"
+        "v = float((x @ x).sum())\n"
+        "assert v == 512 * 512 * 512.0, v\n"
+        "print(p)\n")
     for i in range(attempts):
         try:
             out = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax; print(jax.devices()[0].platform)"],
+                [sys.executable, "-c", probe],
                 capture_output=True, text=True, timeout=probe_timeout)
             if out.returncode == 0:
                 return out.stdout.strip().splitlines()[-1]
