@@ -189,3 +189,38 @@ def test_serving_latency_paths_agree():
     r = serving_latency.time_path(*preds["int_core"], batch=2, iters=1)
     assert r["imgs_per_sec"] > 0 and r["latency_ms"] > 0
     assert r["rate_spread"][0] <= r["imgs_per_sec"] <= r["rate_spread"][1]
+
+
+def test_cga_ab_report_partial_seeds():
+    """The report tool must summarize partial studies (a tunnel outage or
+    round boundary must not strand finished seeds) and skip arms that
+    haven't finished."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "benchmarks"))
+    from cga_ab_report import summarize
+
+    data = {
+        "config": {"boundary_ranges": [0.005]},
+        "runs": {
+            "seed0": {"top1_fp": 45.0, "top1_qat": 57.0,
+                      "top1_cga_br0.005": 58.4, "top1_nofreeze": 57.9},
+            "seed1": {"top1_fp": 44.0, "top1_qat": 56.0,
+                      "top1_cga_br0.005": 56.2, "top1_nofreeze": 56.4},
+            "seed2": {"top1_fp": 43.0},  # mid-flight: no control arm yet
+        },
+        "frozen_fraction": {"seed0": {"0.005": 0.992}},
+    }
+    s = summarize(data)
+    assert s["seeds_completed"] == ["seed0", "seed1"]
+    assert s["n_seeds"] == 2
+    d = s["delta_br0.005"]
+    assert d["per_seed"] == {"seed0": 0.5, "seed1": -0.2}
+    assert abs(d["mean"] - 0.15) < 1e-9
+    assert s["control_seed_sigma"] is not None
+
+    # single completed seed: sigma undefined, mean still reported
+    one = summarize({"config": {"boundary_ranges": [0.005]},
+                     "runs": {"seed0": data["runs"]["seed0"]}})
+    assert one["control_seed_sigma"] is None
+    assert one["delta_br0.005"]["mean"] == 0.5
