@@ -224,3 +224,30 @@ def test_cga_ab_report_partial_seeds():
                      "runs": {"seed0": data["runs"]["seed0"]}})
     assert one["control_seed_sigma"] is None
     assert one["delta_br0.005"]["mean"] == 0.5
+
+
+def test_bench_main_json_contract(monkeypatch, capsys):
+    """End-to-end main() with measurement stubbed: the driver-facing JSON
+    must carry the round-5 keys (value_median, vs_baseline_median,
+    per-family vs_baseline) and never crash assembling them."""
+    import json as _json
+
+    import bench
+
+    fake = {"best": 1000.0, "median": 990.0, "worst": 900.0,
+            "rounds": 3, "iters": 10}
+    monkeypatch.setattr(bench, "measure", lambda *a, **k: dict(fake))
+    monkeypatch.setattr(bench, "serving_rate", lambda **k: 5000.0)
+    monkeypatch.setattr(bench, "wait_for_backend", lambda **k: "cpu")
+    bench.main()
+    line = [l for l in capsys.readouterr().out.splitlines()
+            if l.startswith("{")][-1]
+    d = _json.loads(line)
+    assert d["value_median"] <= d["value"]
+    assert abs(d["vs_baseline"] - 1000.0 / bench.A100_ESTIMATE_IMGS_PER_SEC) < 1e-3
+    assert abs(d["vs_baseline_median"] - 990.0 / bench.A100_ESTIMATE_IMGS_PER_SEC) < 1e-3
+    sec = d["secondary"]
+    for fam in ("swin_t", "deit_b"):
+        assert abs(sec[f"{fam}_vs_baseline"]
+                   - 1000.0 / bench.A100_FAMILY_IMGS_PER_SEC[fam]) < 1e-2
+        assert f"{fam}_mfu" in sec
